@@ -1,0 +1,135 @@
+"""Generated-face post-processing: the trimesh cleanup pipeline.
+
+Replicates the observable behavior of main.py:156-175 / app.py:142-171:
+  1. drop NaN faces (unfilled slots from the generation buffer),
+  2. vertices = faces reshaped (-1, 3) with sequential triangle indices,
+  3. merge duplicate vertices (trimesh.Trimesh(merge_primitives=True) +
+     merge_vertices),
+  4. drop duplicate faces (update_faces(unique_faces())),
+  5. make winding consistent and outward (fix_normals),
+  6. per-face colors + OBJ export.
+
+Coordinates are multiples of 1/128 (the undiscretize grid), so duplicate
+detection by exact equality is equivalent to trimesh's digit-rounding
+merge.
+"""
+from __future__ import annotations
+
+from collections import defaultdict, deque
+from typing import Optional
+
+import numpy as np
+
+from meshanything_tpu.geometry.obj_io import Mesh
+
+
+def merge_vertices(vertices: np.ndarray, faces: np.ndarray, digits: int = 8):
+    """Merge vertices identical after rounding to `digits` decimals."""
+    key = np.round(vertices, digits)
+    uniq, inverse = np.unique(key, axis=0, return_inverse=True)
+    # keep first occurrence's original coordinates for stability
+    first = np.full(len(uniq), -1, dtype=np.int64)
+    seen = np.zeros(len(uniq), dtype=bool)
+    order = np.arange(len(vertices))
+    for idx in order:
+        g = inverse[idx]
+        if not seen[g]:
+            seen[g] = True
+            first[g] = idx
+    new_vertices = vertices[first]
+    new_faces = inverse[faces]
+    return new_vertices, new_faces
+
+
+def remove_degenerate_and_duplicate_faces(faces: np.ndarray) -> np.ndarray:
+    """Drop faces with repeated vertices and keep the first of each
+    duplicate set (duplicates compared on the sorted index triple, the
+    same criterion as trimesh.unique_faces)."""
+    ok = (
+        (faces[:, 0] != faces[:, 1])
+        & (faces[:, 1] != faces[:, 2])
+        & (faces[:, 0] != faces[:, 2])
+    )
+    faces = faces[ok]
+    key = np.sort(faces, axis=1)
+    _, first_idx = np.unique(key, axis=0, return_index=True)
+    return faces[np.sort(first_idx)]
+
+
+def fix_normals(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Make winding consistent across each connected component and orient
+    so the total signed volume is non-negative (trimesh.fix_normals)."""
+    faces = faces.copy()
+    nf = len(faces)
+    if nf == 0:
+        return faces
+    edge_map = defaultdict(list)
+    for i, (a, b, c) in enumerate(faces):
+        for u, v in ((a, b), (b, c), (c, a)):
+            edge_map[(min(u, v), max(u, v))].append(i)
+
+    visited = np.zeros(nf, dtype=bool)
+    for seed in range(nf):
+        if visited[seed]:
+            continue
+        component = [seed]
+        visited[seed] = True
+        queue = deque([seed])
+        while queue:
+            i = queue.popleft()
+            a, b, c = faces[i]
+            for u, v in ((a, b), (b, c), (c, a)):
+                for j in edge_map[(min(u, v), max(u, v))]:
+                    if visited[j]:
+                        continue
+                    # consistent winding: shared edge must appear in
+                    # opposite directions in the two faces
+                    ja, jb, jc = faces[j]
+                    j_edges = ((ja, jb), (jb, jc), (jc, ja))
+                    if (u, v) in j_edges:
+                        faces[j] = faces[j][::-1]
+                    visited[j] = True
+                    component.append(j)
+                    queue.append(j)
+        comp = np.asarray(component)
+        tri = vertices[faces[comp]]
+        vol = np.einsum(
+            "ij,ij->i", tri[:, 0], np.cross(tri[:, 1], tri[:, 2])
+        ).sum() / 6.0
+        if vol < 0:
+            faces[comp] = faces[comp][:, ::-1]
+    return faces
+
+
+def faces_to_mesh(
+    face_coords: np.ndarray,
+    face_colors: Optional[np.ndarray] = None,
+) -> Mesh:
+    """(nf, 3, 3) possibly-NaN face coordinates -> cleaned Mesh.
+
+    Mirrors the per-sample block in main.py:156-175.
+    """
+    face_coords = np.asarray(face_coords, dtype=np.float64)
+    valid = ~np.isnan(face_coords[:, 0, 0])
+    face_coords = face_coords[valid]
+    vertices = face_coords.reshape(-1, 3)
+    faces = np.arange(len(vertices), dtype=np.int64).reshape(-1, 3)
+
+    vertices, faces = merge_vertices(vertices, faces)
+    faces = remove_degenerate_and_duplicate_faces(faces)
+    faces = fix_normals(vertices, faces)
+
+    colors = None
+    if len(faces):
+        color = np.array([255, 165, 0, 255], dtype=np.uint8) if face_colors is None else face_colors
+        colors = np.tile(color, (len(faces), 1))
+    return Mesh(vertices=vertices, faces=faces, face_colors=colors)
+
+
+def postprocess_faces(face_coords: np.ndarray, out_path: str) -> Mesh:
+    """Clean generated faces and export to OBJ (main.py:163-174)."""
+    from meshanything_tpu.geometry.obj_io import save_obj
+
+    mesh = faces_to_mesh(face_coords)
+    save_obj(mesh, out_path)
+    return mesh

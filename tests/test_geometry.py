@@ -1,0 +1,171 @@
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from meshanything_tpu.geometry import (
+    Mesh,
+    load_mesh,
+    save_obj,
+    normalize_pc_cli,
+    normalize_mesh_app,
+    normalize_vertices,
+    discretize,
+    undiscretize,
+    sample_surface_with_normals,
+    faces_to_mesh,
+)
+from meshanything_tpu.geometry.postprocess import (
+    merge_vertices,
+    remove_degenerate_and_duplicate_faces,
+    fix_normals,
+)
+
+REF = "/root/reference"
+
+
+def _cube():
+    v = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+         [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], dtype=np.float64
+    )
+    f = np.array(
+        [[0, 2, 1], [0, 3, 2],            # bottom (z=0), outward = -z
+         [4, 5, 6], [4, 6, 7],            # top
+         [0, 1, 5], [0, 5, 4],            # y=0
+         [2, 3, 7], [2, 7, 6],            # y=1
+         [1, 2, 6], [1, 6, 5],            # x=1
+         [3, 0, 4], [3, 4, 7]], dtype=np.int64
+    )
+    return v, f
+
+
+def test_load_reference_obj():
+    mesh = load_mesh(os.path.join(REF, "examples", "wand.obj"))
+    assert mesh.vertices.shape[1] == 3
+    assert mesh.faces.shape[1] == 3
+    assert len(mesh.vertices) > 1000
+    assert mesh.faces.min() >= 0
+    assert mesh.faces.max() < len(mesh.vertices)
+
+
+def test_obj_roundtrip(tmp_path):
+    v, f = _cube()
+    path = str(tmp_path / "cube.obj")
+    save_obj(Mesh(v, f), path)
+    back = load_mesh(path)
+    np.testing.assert_allclose(back.vertices, v, atol=1e-7)
+    np.testing.assert_array_equal(back.faces, f)
+
+
+def test_normalize_pc_cli_contract(rng):
+    # main.py:45-58: center at bbox midpoint, max |coord| == 0.9995
+    pts = rng.normal(size=(4096, 3)) * 3 + 5
+    normals = rng.normal(size=(4096, 3))
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    pc = np.concatenate([pts, normals], axis=-1)
+    out = normalize_pc_cli(pc)
+    assert out.dtype == np.float16
+    coor = out[:, :3].astype(np.float64)
+    assert abs(np.abs(coor).max() - 0.9995) < 1e-3
+    lo, hi = coor.min(0), coor.max(0)
+    # bbox midpoint at origin along the max-extent axis
+    assert np.abs((lo + hi) / 2).max() < 2e-3
+
+
+def test_normalize_pc_rejects_bad_normals(rng):
+    pc = np.concatenate([rng.normal(size=(64, 3)), rng.normal(size=(64, 3)) * 0.1], axis=-1)
+    with pytest.raises(ValueError):
+        normalize_pc_cli(pc)
+
+
+def test_normalize_mesh_app(rng):
+    v, f = _cube()
+    pc = rng.random((128, 3))
+    nv, npc = normalize_mesh_app(v, pc)
+    # mesh centered at origin, scaled by max extent (=1)
+    assert np.allclose(nv.min(0), -0.5) and np.allclose(nv.max(0), 0.5)
+    assert abs(np.abs(npc).max() - 0.9995) < 1e-9
+
+
+def test_normalize_vertices_watertight():
+    v, _ = _cube()
+    scaled, center, factor = normalize_vertices(v, scale=0.9)
+    np.testing.assert_allclose(center, [0.5, 0.5, 0.5])
+    assert np.allclose(scaled.max(0) - scaled.min(0), 1.8)
+    np.testing.assert_allclose((v - center) * factor, scaled)
+
+
+def test_discretize_roundtrip():
+    # undiscretize(meshanything.py:214-223): t/128 - 0.5. Bin centers map
+    # back to themselves under discretize.
+    bins = np.arange(128)
+    coords = undiscretize(bins)
+    np.testing.assert_allclose(coords, bins / 128.0 - 0.5)
+    back = discretize(coords)
+    np.testing.assert_array_equal(back, bins)
+
+
+def test_sample_surface(rng):
+    v, f = _cube()
+    pc = sample_surface_with_normals(v, f, 4096, rng)
+    assert pc.shape == (4096, 6) and pc.dtype == np.float16
+    pts = pc[:, :3].astype(np.float64)
+    assert (pts.min() >= -1e-3) and (pts.max() <= 1 + 1e-3)
+    # normals unit
+    n = pc[:, 3:].astype(np.float64)
+    assert np.allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-2)
+    # on a cube each face pair has area 1/6 of total: check rough balance
+    on_z0 = np.abs(pts[:, 2]) < 1e-6
+    assert 0.1 < on_z0.mean() < 0.25
+
+
+def test_merge_vertices():
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 0, 0]], dtype=np.float64)
+    f = np.array([[0, 1, 2], [0, 3, 2]])
+    nv, nf = merge_vertices(v, f)
+    assert len(nv) == 3
+    assert np.array_equal(nf[0], nf[1])
+
+
+def test_unique_faces():
+    f = np.array([[0, 1, 2], [2, 0, 1], [1, 1, 2], [3, 4, 5]])
+    out = remove_degenerate_and_duplicate_faces(f)
+    # [2,0,1] is a duplicate of [0,1,2] modulo rotation; [1,1,2] degenerate
+    assert len(out) == 2
+    assert np.array_equal(out[0], [0, 1, 2])
+    assert np.array_equal(out[1], [3, 4, 5])
+
+
+def test_fix_normals_consistency():
+    v, f = _cube()
+    # break the winding of half the faces
+    broken = f.copy()
+    broken[::2] = broken[::2, ::-1]
+    fixed = fix_normals(v, broken)
+    mesh = Mesh(v, fixed)
+    # signed volume of a unit cube with outward normals = +1
+    tri = v[fixed]
+    vol = np.einsum("ij,ij->i", tri[:, 0], np.cross(tri[:, 1], tri[:, 2])).sum() / 6
+    assert abs(vol - 1.0) < 1e-9
+    # all normals point away from the centroid
+    centers = tri.mean(axis=1) - 0.5
+    assert (np.einsum("ij,ij->i", mesh.face_normals, centers) > 0).all()
+
+
+def test_faces_to_mesh_nan_filter():
+    v, f = _cube()
+    coords = v[f].astype(np.float64)  # (12, 3, 3)
+    padded = np.concatenate([coords, np.full((4, 3, 3), np.nan)], axis=0)
+    mesh = faces_to_mesh(padded)
+    assert len(mesh.faces) == 12
+    assert len(mesh.vertices) == 8  # merged back to cube corners
+    assert mesh.face_colors is not None and mesh.face_colors.shape == (12, 4)
+
+
+def test_mouse_npy_pipeline():
+    pc = np.load(os.path.join(REF, "pc_examples", "mouse.npy"))
+    assert pc.shape[0] >= 4096
+    out = normalize_pc_cli(pc[:4096])
+    assert out.shape == (4096, 6)
