@@ -1,0 +1,137 @@
+"""CLI driver with the reference's exact flag surface (main.py:60-89).
+
+``python main.py --input_path pc_examples/mouse.npy --input_type pc_normal``
+works identically; TPU-specific extras (--batch/--bucket/--dtype/
+--weights-format) are additive.
+"""
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import sys
+import time
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser("MeshAnything-TPU", add_help=False)
+
+    # reference flags (main.py:60-89)
+    parser.add_argument("--llm", default="facebook/opt-350m", type=str)
+    parser.add_argument("--input_dir", default=None, type=str)
+    parser.add_argument("--input_path", default=None, type=str)
+    parser.add_argument("--out_dir", default="inference_out", type=str)
+    parser.add_argument("--pretrained_weights", default="MeshAnything_350m.pth", type=str)
+    parser.add_argument(
+        "--input_type", choices=["mesh", "pc_normal"], default="pc",
+        help="Type of the asset to process (default: pc)",
+    )
+    parser.add_argument("--codebook_size", default=8192, type=int)
+    parser.add_argument("--codebook_dim", default=1024, type=int)
+    parser.add_argument("--n_max_triangles", default=800, type=int)
+    parser.add_argument("--batchsize_per_gpu", default=1, type=int)
+    parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--mc", default=False, action="store_true")
+    parser.add_argument("--sampling", default=False, action="store_true")
+
+    # TPU-native extras
+    parser.add_argument("--bucket", default=512, type=int, help="KV bucket size for decode")
+    parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    parser.add_argument("--random_weights", default=False, action="store_true",
+                        help="skip checkpoint loading (smoke tests)")
+    parser.add_argument("--metrics_out", default=None, type=str)
+    parser.add_argument("--help", action="help")
+
+    return parser.parse_args(argv)
+
+
+def build_config(args):
+    from meshanything_tpu.config import MeshAnythingConfig, ShapeOPTConfig
+
+    return MeshAnythingConfig(
+        opt=ShapeOPTConfig(
+            codebook_size=args.codebook_size,
+            codebook_dim=args.codebook_dim,
+            vocab_size=args.codebook_size + 3,
+        ),
+        n_max_triangles=args.n_max_triangles,
+        dtype=args.dtype,
+    )
+
+
+def load_params(args, cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from meshanything_tpu.runtime import checkpoint as ckpt
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if args.random_weights:
+        from meshanything_tpu.models.meshanything import init_meshanything_params
+
+        print("using random weights (--random_weights)")
+        return init_meshanything_params(jax.random.PRNGKey(args.seed), cfg, dtype)
+
+    path = args.pretrained_weights
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"checkpoint {path!r} not found. Download MeshAnything_350m.pth "
+            "from the HF hub (Yiwen-ntu/MeshAnything) and pass "
+            "--pretrained_weights, or use --random_weights for a smoke run."
+        )
+    if os.path.isdir(path):
+        tree = ckpt.load_orbax(path)
+        return ckpt.to_device_tree(tree, dtype)
+    tree = ckpt.load_reference_checkpoint(path, cfg)
+    print("converted reference checkpoint:", path)
+    return ckpt.to_device_tree(tree, dtype)
+
+
+def collect_inputs(args):
+    if args.input_dir is not None:
+        names = sorted(os.listdir(args.input_dir))
+        if args.input_type == "pc_normal":
+            names = [n for n in names if n.endswith(".npy")]
+        else:
+            names = [n for n in names if n.endswith((".ply", ".obj", ".npy"))]
+        return [os.path.join(args.input_dir, n) for n in names]
+    if args.input_path is not None:
+        return [args.input_path]
+    raise ValueError("input_dir or input_path must be provided.")
+
+
+def main(argv=None):
+    args = get_args(argv)
+    cfg = build_config(args)
+
+    cur_time = datetime.datetime.now().strftime("%d_%H-%M-%S")
+    out_dir = os.path.join(args.out_dir, cur_time)
+    os.makedirs(out_dir, exist_ok=True)
+
+    from meshanything_tpu.runtime.pipeline import InferencePipeline, load_inputs, write_metrics
+
+    params = load_params(args, cfg)
+    paths = collect_inputs(args)
+    samples = load_inputs(
+        args.input_type, paths, marching_cubes=args.mc,
+        num_points=cfg.perceiver.num_points, seed=args.seed,
+    )
+    print(f"dataset total data samples: {len(samples)}")
+
+    pipe = InferencePipeline(
+        params, cfg, batch_size=args.batchsize_per_gpu, bucket=args.bucket
+    )
+    begin = time.time()
+    print("Generation Start!!!")
+    results = pipe.run(samples, out_dir, sampling=args.sampling, seed=args.seed)
+    for r in results:
+        print(f"{r.get('obj_path', r['uid'])} Over!!")
+    print(f"Total time: {time.time() - begin}")
+
+    if args.metrics_out:
+        write_metrics(results, args.metrics_out)
+    return results
+
+
+if __name__ == "__main__":
+    main()

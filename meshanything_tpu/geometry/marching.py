@@ -1,0 +1,128 @@
+"""Isosurface extraction via vectorized marching tetrahedra.
+
+Replaces skimage.measure.marching_cubes in the watertighting path
+(mesh_to_pc.py:32). The reference extracts the |sdf| = 2/size level set
+— a thin offset shell whose exact triangulation scheme is irrelevant
+downstream because it is immediately re-sampled into a point cloud
+(mesh_to_pc.py:51). Marching tetrahedra is table-light and fully
+vectorizable in NumPy, and produces a closed surface for any scalar
+field; orientation consistency is restored downstream by
+postprocess.fix_normals.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+# Freudenthal 6-tetrahedron decomposition of the unit cube around the
+# main diagonal (corner 0 -> corner 7). Corner c has offset bits
+# (x=c&1, y=(c>>1)&1, z=(c>>2)&1).
+_TETS = np.array([
+    [0, 1, 3, 7],
+    [0, 1, 5, 7],
+    [0, 2, 3, 7],
+    [0, 2, 6, 7],
+    [0, 4, 5, 7],
+    [0, 4, 6, 7],
+], dtype=np.int64)
+
+# Per-case triangulation for a tetrahedron, keyed by the 4-bit "inside"
+# mask of its corners. Each triangle is 3 crossed edges (a, b) with a
+# inside-to-outside crossing. Topologically verified: single-corner
+# cases emit the 3 edges incident to that corner; two-corner cases
+# split the crossing quad along a diagonal.
+_CASE_TRIS = {
+    1: [[(0, 1), (0, 2), (0, 3)]],
+    2: [[(0, 1), (1, 3), (1, 2)]],
+    3: [[(0, 2), (0, 3), (1, 3)], [(0, 2), (1, 3), (1, 2)]],
+    4: [[(0, 2), (1, 2), (2, 3)]],
+    5: [[(0, 1), (2, 3), (0, 3)], [(0, 1), (1, 2), (2, 3)]],
+    6: [[(0, 1), (0, 2), (2, 3)], [(0, 1), (2, 3), (1, 3)]],
+    7: [[(0, 3), (1, 3), (2, 3)]],
+    8: [[(0, 3), (2, 3), (1, 3)]],
+    9: [[(0, 1), (2, 3), (0, 2)], [(0, 1), (1, 3), (2, 3)]],
+    10: [[(0, 1), (2, 3), (1, 2)], [(0, 1), (0, 3), (2, 3)]],
+    11: [[(0, 2), (2, 3), (1, 2)]],
+    12: [[(0, 2), (1, 3), (0, 3)], [(0, 2), (1, 2), (1, 3)]],
+    13: [[(0, 1), (1, 2), (1, 3)]],
+    14: [[(0, 1), (0, 3), (0, 2)]],
+}
+
+
+def marching_tetrahedra(field: np.ndarray, level: float):
+    """Extract the ``field == level`` isosurface.
+
+    field: (nx, ny, nz) scalar grid. Returns (vertices (V, 3) in grid
+    index coordinates, faces (F, 3) int64), vertices deduplicated per
+    crossed grid edge so the surface is closed.
+    """
+    f = np.asarray(field, dtype=np.float64) - level
+    nx, ny, nz = f.shape
+    cx, cy, cz = nx - 1, ny - 1, nz - 1
+
+    corners = np.arange(8)
+    offs = np.stack([corners & 1, (corners >> 1) & 1, (corners >> 2) & 1], axis=-1)
+
+    corner_vals = np.empty((cx, cy, cz, 8))
+    corner_gids = np.empty((cx, cy, cz, 8), dtype=np.int64)
+    ix, iy, iz = np.meshgrid(np.arange(cx), np.arange(cy), np.arange(cz), indexing="ij")
+    for c, (ox, oy, oz) in enumerate(offs):
+        corner_vals[..., c] = f[ox:ox + cx, oy:oy + cy, oz:oz + cz]
+        corner_gids[..., c] = ((ix + ox) * ny + (iy + oy)) * nz + (iz + oz)
+
+    corner_vals = corner_vals.reshape(-1, 8)
+    corner_gids = corner_gids.reshape(-1, 8)
+    sign = corner_vals > 0
+    active = ~(sign.all(axis=1) | (~sign).all(axis=1))
+    corner_vals = corner_vals[active]
+    corner_gids = corner_gids[active]
+
+    # accumulate (M, 3) triangle blocks of (gid_a, gid_b, t) per corner
+    ga_blocks, gb_blocks, t_blocks = [], [], []
+    for tet in _TETS:
+        tv = corner_vals[:, tet]
+        tg = corner_gids[:, tet]
+        inside = tv > 0
+        case = (inside[:, 0].astype(np.int64)
+                | inside[:, 1].astype(np.int64) << 1
+                | inside[:, 2].astype(np.int64) << 2
+                | inside[:, 3].astype(np.int64) << 3)
+        for case_id, tris in _CASE_TRIS.items():
+            m = np.nonzero(case == case_id)[0]
+            if len(m) == 0:
+                continue
+            for tri in tris:
+                ga = np.stack([tg[m, a] for (a, b) in tri], axis=1)   # (M, 3)
+                gb = np.stack([tg[m, b] for (a, b) in tri], axis=1)
+                tt = np.stack(
+                    [tv[m, a] / (tv[m, a] - tv[m, b]) for (a, b) in tri], axis=1
+                )
+                ga_blocks.append(ga)
+                gb_blocks.append(gb)
+                t_blocks.append(tt)
+
+    if not ga_blocks:
+        return np.zeros((0, 3)), np.zeros((0, 3), dtype=np.int64)
+
+    flat_ga = np.concatenate(ga_blocks).ravel()
+    flat_gb = np.concatenate(gb_blocks).ravel()
+    flat_t = np.concatenate(t_blocks).ravel()
+    lo = np.minimum(flat_ga, flat_gb)
+    hi = np.maximum(flat_ga, flat_gb)
+    t_canon = np.where(flat_ga <= flat_gb, flat_t, 1.0 - flat_t)
+
+    keys = lo * (nx * ny * nz) + hi
+    uniq, first_idx, inv = np.unique(keys, return_index=True, return_inverse=True)
+
+    def gid_to_xyz(g):
+        z = g % nz
+        y = (g // nz) % ny
+        x = g // (nz * ny)
+        return np.stack([x, y, z], axis=-1).astype(np.float64)
+
+    plo = gid_to_xyz(lo[first_idx])
+    phi = gid_to_xyz(hi[first_idx])
+    vertices = plo + t_canon[first_idx][:, None] * (phi - plo)
+
+    faces = inv.reshape(-1, 3)
+    ok = (faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2]) & (faces[:, 0] != faces[:, 2])
+    return vertices, faces[ok]

@@ -1,0 +1,215 @@
+"""Functional NN primitives shared by every model in the framework.
+
+Design: pure functions over explicit parameter pytrees (nested dicts of
+jnp arrays). Linear weights are stored ``(in_features, out_features)``
+so activations contract as ``x @ w`` — the natural MXU layout; the
+checkpoint converter transposes torch's ``(out, in)``.
+
+Numerics policy (TPU-first): matmuls run in the configured compute
+dtype (bf16 by default), while softmax and layernorm always reduce in
+f32 — this matches the reference's fp16-with-fp32-softmax behavior
+(michelangelo transformer_blocks.py:67-72) and is the stable recipe on
+TPU.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """LayerNorm with f32 statistics (torch.nn.LayerNorm semantics)."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
+
+
+def linear(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
+    """x @ w (+ b); w is (in, out)."""
+    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype)
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    """Exact (erf) GELU — torch.nn.GELU default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    """(B, N, H*D) -> (B, N, H, D)."""
+    b, n, hd = x.shape
+    return x.reshape(b, n, num_heads, hd // num_heads)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    b, n, h, d = x.shape
+    return x.reshape(b, n, h * d)
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    dual_sqrt_scale: bool = False,
+    mask: Optional[jax.Array] = None,
+    causal: bool = False,
+) -> jax.Array:
+    """Multi-head attention core over (B, N, H, D) tensors.
+
+    dual_sqrt_scale replicates the Michelangelo stabilization
+    (transformer_blocks.py:60-71): both q and k are pre-multiplied by
+    1/sqrt(sqrt(D)) before the logit matmul; softmax runs in f32.
+    Standard attention (OPT/BERT) uses ``scale = 1/sqrt(D)`` on q.
+    """
+    d = q.shape[-1]
+    if dual_sqrt_scale:
+        s = 1.0 / math.sqrt(math.sqrt(d))
+        q = q * jnp.asarray(s, q.dtype)
+        k = k * jnp.asarray(s, k.dtype)
+    else:
+        s = (1.0 / math.sqrt(d)) if scale is None else scale
+        q = q * jnp.asarray(s, q.dtype)
+
+    logits = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
+
+    if causal:
+        tq, sk = logits.shape[-2], logits.shape[-1]
+        causal_mask = jnp.tril(jnp.ones((tq, sk), dtype=bool), k=sk - tq)
+        logits = jnp.where(causal_mask[None, None], logits, jnp.float32(-1e30))
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.float32(-1e30))
+
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhts,bshd->bthd", weights, v, preferred_element_type=q.dtype)
+    return out
+
+
+def self_attention_block(
+    x: jax.Array,
+    p: dict,
+    *,
+    num_heads: int,
+    dual_sqrt_scale: bool = False,
+    ln_eps: float = 1e-5,
+    causal: bool = False,
+) -> jax.Array:
+    """Pre-LN residual self-attention + MLP block (Michelangelo
+    ResidualAttentionBlock, transformer_blocks.py:77-115).
+
+    Params: ln1/{scale,bias}, qkv/{w[,b]}, proj/{w,b},
+            ln2/{scale,bias}, fc/{w,b}, fc_out/{w,b}.
+    """
+    h = layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"], ln_eps)
+    qkv = linear(h, p["qkv"]["w"], p["qkv"].get("b"))
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    o = attention(
+        _split_heads(q, num_heads), _split_heads(k, num_heads), _split_heads(v, num_heads),
+        dual_sqrt_scale=dual_sqrt_scale, causal=causal,
+    )
+    x = x + linear(_merge_heads(o), p["proj"]["w"], p["proj"]["b"])
+
+    h = layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"], ln_eps)
+    h = linear(gelu(linear(h, p["fc"]["w"], p["fc"]["b"])), p["fc_out"]["w"], p["fc_out"]["b"])
+    return x + h
+
+
+def cross_attention_block(
+    x: jax.Array,
+    data: jax.Array,
+    p: dict,
+    *,
+    num_heads: int,
+    dual_sqrt_scale: bool = True,
+    ln_eps: float = 1e-5,
+) -> jax.Array:
+    """Michelangelo ResidualCrossAttentionBlock (transformer_blocks.py:188-226).
+
+    Params: ln_q, ln_kv, q/{w[,b]}, kv/{w[,b]}, proj/{w,b}, ln_mlp,
+            fc/{w,b}, fc_out/{w,b}.
+    """
+    hq = layer_norm(x, p["ln_q"]["scale"], p["ln_q"]["bias"], ln_eps)
+    hk = layer_norm(data, p["ln_kv"]["scale"], p["ln_kv"]["bias"], ln_eps)
+    q = linear(hq, p["q"]["w"], p["q"].get("b"))
+    kv = linear(hk, p["kv"]["w"], p["kv"].get("b"))
+    k, v = jnp.split(kv, 2, axis=-1)
+    o = attention(
+        _split_heads(q, num_heads), _split_heads(k, num_heads), _split_heads(v, num_heads),
+        dual_sqrt_scale=dual_sqrt_scale,
+    )
+    x = x + linear(_merge_heads(o), p["proj"]["w"], p["proj"]["b"])
+
+    h = layer_norm(x, p["ln_mlp"]["scale"], p["ln_mlp"]["bias"], ln_eps)
+    h = linear(gelu(linear(h, p["fc"]["w"], p["fc"]["b"])), p["fc_out"]["w"], p["fc_out"]["b"])
+    return x + h
+
+
+def scan_layers(apply_fn, x, stacked_params: dict):
+    """Run a stack of identical layers with lax.scan.
+
+    ``stacked_params`` leaves have a leading layer axis. One compiled
+    layer body regardless of depth — fast compiles, and XLA pipelines
+    the per-layer weight fetches from HBM.
+    """
+    def body(carry, layer_params):
+        return apply_fn(carry, layer_params), None
+
+    out, _ = jax.lax.scan(body, x, stacked_params)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# initializers
+
+
+def init_linear(key, d_in, d_out, std, bias=True, dtype=jnp.float32):
+    p = {"w": jax.random.normal(key, (d_in, d_out), dtype) * std}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def init_ln(d, dtype=jnp.float32):
+    return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+
+def init_self_attention_block(key, width, ffn_mult=4, *, qkv_bias=True, std=0.02, dtype=jnp.float32):
+    ks = jax.random.split(key, 4)
+    return {
+        "ln1": init_ln(width, dtype),
+        "qkv": init_linear(ks[0], width, 3 * width, std, qkv_bias, dtype),
+        "proj": init_linear(ks[1], width, width, std, True, dtype),
+        "ln2": init_ln(width, dtype),
+        "fc": init_linear(ks[2], width, ffn_mult * width, std, True, dtype),
+        "fc_out": init_linear(ks[3], ffn_mult * width, width, std, True, dtype),
+    }
+
+
+def init_cross_attention_block(key, width, data_width=None, ffn_mult=4, *, qkv_bias=True, std=0.02, dtype=jnp.float32):
+    if data_width is None:
+        data_width = width
+    ks = jax.random.split(key, 5)
+    return {
+        "ln_q": init_ln(width, dtype),
+        "ln_kv": init_ln(data_width, dtype),
+        "q": init_linear(ks[0], width, width, std, qkv_bias, dtype),
+        "kv": init_linear(ks[1], data_width, 2 * width, std, qkv_bias, dtype),
+        "proj": init_linear(ks[2], width, width, std, True, dtype),
+        "ln_mlp": init_ln(width, dtype),
+        "fc": init_linear(ks[3], width, ffn_mult * width, std, True, dtype),
+        "fc_out": init_linear(ks[4], ffn_mult * width, width, std, True, dtype),
+    }
+
+
+def stack_layer_params(layer_list):
+    """List of per-layer param dicts -> one dict with stacked leaves."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layer_list)

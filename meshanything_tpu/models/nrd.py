@@ -1,0 +1,131 @@
+"""Noise-resistant decoder: discrete face tokens -> continuous coords.
+
+Functional re-design of ``NoiseResistantDecoder``
+(MeshAnything/models/meshanything.py:10-80): a 6-layer bidirectional
+BERT-base encoder over [257 condition tokens ‖ nf face embeddings],
+followed by a 9x128-bin coordinate head, argmax and undiscretize.
+
+BERT block structure (HF bert post-LN, eps 1e-12): self-attention ->
+dense -> LN(residual) -> intermediate GELU -> dense -> LN(residual).
+
+Everything is fixed-shape (faces padded to n_max_triangles), one XLA
+program.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from meshanything_tpu.config import NRDConfig
+from meshanything_tpu.models.layers import (
+    attention,
+    init_linear,
+    init_ln,
+    layer_norm,
+    linear,
+)
+
+
+def init_bert_layer(key, cfg: NRDConfig, dtype=jnp.float32) -> dict:
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    ks = jax.random.split(key, 4)
+    return {
+        "qkv": init_linear(ks[0], d, 3 * d, 0.02, True, dtype),
+        "attn_out": init_linear(ks[1], d, d, 0.02, True, dtype),
+        "ln_attn": init_ln(d, dtype),
+        "fc1": init_linear(ks[2], d, f, 0.02, True, dtype),
+        "fc2": init_linear(ks[3], f, d, 0.02, True, dtype),
+        "ln_ffn": init_ln(d, dtype),
+    }
+
+
+def init_nrd_params(key, cfg: NRDConfig, dtype=jnp.float32) -> dict:
+    from meshanything_tpu.models.layers import stack_layer_params
+
+    d = cfg.hidden_size
+    ks = jax.random.split(key, 8)
+    layers = [init_bert_layer(k, cfg, dtype) for k in jax.random.split(ks[0], cfg.num_layers)]
+    return {
+        "pos_embedding": jax.random.normal(ks[1], (cfg.max_faces_pos, d), dtype) * 0.02,
+        "layernorm": init_ln(d, dtype),
+        "point_layernorm": init_ln(d, dtype),
+        "point_pe": jax.random.normal(ks[2], (cfg.cond_length, d), dtype) * 0.02,
+        "cond_proj": init_linear(ks[3], cfg.cond_dim, d, 0.02, True, dtype),
+        "cond_head_proj": init_linear(ks[4], cfg.cond_dim, d, 0.02, True, dtype),
+        "project_down_codebook": init_linear(ks[5], cfg.codebook_dim * 3, d, 0.02, True, dtype),
+        "to_coor_logits": init_linear(ks[6], d, cfg.discrete_num * 9, 0.02, True, dtype),
+        "encoder": stack_layer_params(layers),
+    }
+
+
+def bert_layer_apply(x: jax.Array, p: dict, *, num_heads: int, ln_eps: float) -> jax.Array:
+    """One HF BERT post-LN encoder layer (bidirectional, no mask: the
+    reference passes no attention mask to its BERT either —
+    meshanything.py:62-64 — masked faces are zeroed instead)."""
+    b, n, d = x.shape
+    h = num_heads
+    hd = d // h
+    qkv = linear(x, p["qkv"]["w"], p["qkv"]["b"])
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    o = attention(
+        q.reshape(b, n, h, hd), k.reshape(b, n, h, hd), v.reshape(b, n, h, hd)
+    ).reshape(b, n, d)
+    x = layer_norm(x + linear(o, p["attn_out"]["w"], p["attn_out"]["b"]),
+                   p["ln_attn"]["scale"], p["ln_attn"]["bias"], ln_eps)
+    from meshanything_tpu.models.layers import gelu
+
+    h2 = linear(gelu(linear(x, p["fc1"]["w"], p["fc1"]["b"])), p["fc2"]["w"], p["fc2"]["b"])
+    return layer_norm(x + h2, p["ln_ffn"]["scale"], p["ln_ffn"]["bias"], ln_eps)
+
+
+def process_point_feature(params: dict, cfg: NRDConfig, point_feature: jax.Array) -> jax.Array:
+    """NRD's own condition projection (meshanything.py:42-48)."""
+    head = linear(point_feature[:, :1], params["cond_head_proj"]["w"], params["cond_head_proj"]["b"])
+    rest = linear(point_feature[:, 1:], params["cond_proj"]["w"], params["cond_proj"]["b"])
+    x = jnp.concatenate([head, rest], axis=1)
+    x = x + params["point_pe"][: x.shape[1]].astype(x.dtype)
+    # point_layernorm / layernorm are plain nn.LayerNorm (eps 1e-5,
+    # meshanything.py:28-29) — only the BERT layers use eps 1e-12.
+    return layer_norm(x, params["point_layernorm"]["scale"], params["point_layernorm"]["bias"], 1e-5)
+
+
+def decode_faces(
+    params: dict,
+    cfg: NRDConfig,
+    token_ids: jax.Array,
+    code_embeds: jax.Array,
+    point_feature: jax.Array,
+) -> jax.Array:
+    """(B, nf*9) ids, (B, nf*3, codebook_dim) summed codes, (B, 257, 768)
+    raw perceiver features -> (B, nf, 3, 3) float coords with NaN on
+    masked faces (meshanything.py:50-80)."""
+    b = token_ids.shape[0]
+    token_ids = token_ids.reshape(b, -1)
+    nf = token_ids.shape[1] // 9
+
+    cond = process_point_feature(params, cfg, point_feature)
+
+    face_embeds = code_embeds.reshape(b, nf, 3 * cfg.codebook_dim)
+    face_embeds = linear(face_embeds, params["project_down_codebook"]["w"], params["project_down_codebook"]["b"])
+
+    face_mask = jnp.all(token_ids.reshape(b, nf, 9) != cfg.pad_id, axis=-1)  # (B, nf)
+    face_embeds = jnp.where(face_mask[..., None], face_embeds, 0.0)
+
+    face_embeds = face_embeds + params["pos_embedding"][:nf].astype(face_embeds.dtype)
+    face_embeds = layer_norm(face_embeds, params["layernorm"]["scale"], params["layernorm"]["bias"], 1e-5)
+
+    x = jnp.concatenate([cond, face_embeds], axis=1)
+
+    def body(h, p):
+        return bert_layer_apply(h, p, num_heads=cfg.num_heads, ln_eps=cfg.ln_eps), None
+
+    x, _ = jax.lax.scan(body, x, params["encoder"])
+    decoded = x[:, cond.shape[1]:]
+    decoded = jnp.where(face_mask[..., None], decoded, 0.0)
+
+    logits = linear(decoded, params["to_coor_logits"]["w"], params["to_coor_logits"]["b"])
+    logits = logits.reshape(b, nf, 9, cfg.discrete_num)
+    bins = jnp.argmax(logits, axis=-1)  # (B, nf, 9)
+    coords = bins.astype(jnp.float32) / cfg.discrete_num - 0.5  # undiscretize [-0.5, 0.5)
+    coords = coords.reshape(b, nf, 3, 3)
+    return jnp.where(face_mask[..., None, None], coords, jnp.nan)

@@ -1,0 +1,366 @@
+"""ShapeOPT: the OPT-350M-based autoregressive mesh-token decoder,
+re-designed TPU-first.
+
+Reference semantics (MeshAnything/models/shape_opt.py):
+  * hybrid token embedding — ids {0,1,2} via a 3-row table, ids >= 3 via
+    a linear projection of the frozen RVQ codebook row (shape_opt.py:237-245);
+    here branchless via jnp.where instead of boolean scatter.
+  * learned absolute positions with OPT's +2 offset over the mask
+    including the 257 condition slots (shape_opt.py:359).
+  * face-phase positional embedding: coordinate token k (0-indexed over
+    generated coordinate tokens) gets id (k mod 9)+3; special tokens keep
+    their own id 0-2 (shape_opt.py:440-460). The reference derives this
+    from attention-mask sums at runtime; with the all-ones masks of this
+    pipeline mask_len == cond_length + step + 1, so a step counter is
+    exactly equivalent (proven in tests/test_shape_opt.py).
+  * cond_embed flag: 0 for the condition pass, 1 for token passes
+    (shape_opt.py:326-337).
+  * OPT-350m block: post-layernorm, ReLU FFN, untied lm_head
+    (shape_opt.py:24,29-43; do_layer_norm_before=False so there is no
+    final stack layernorm, shape_opt.py:223-228).
+
+TPU-first execution model (replaces HF's Python generate loop,
+meshanything.py:144-162):
+  * prefill — one jitted causal pass over the 257 condition embeddings
+    that also writes the KV cache;
+  * decode — a lax.while_loop per static KV *bucket*: attention inside
+    bucket b only reads cache[:, :b], so KV traffic grows with the
+    sequence instead of paying the full 7459-slot cache every step.
+    Early exit when every row has emitted eos.
+
+The KV cache is preallocated (2, L, B, S_max, H, D) and updated with
+dynamic_update_slice — the fixed-shape long-context recipe
+(SURVEY.md §5.7).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from meshanything_tpu.config import ShapeOPTConfig
+from meshanything_tpu.models.layers import (
+    init_linear,
+    init_ln,
+    layer_norm,
+    linear,
+)
+from meshanything_tpu.ops.sampling import sample_token
+
+
+# ---------------------------------------------------------------------------
+# parameters
+
+
+def init_opt_layer(key, cfg: ShapeOPTConfig, dtype=jnp.float32) -> dict:
+    d, f = cfg.hidden_size, cfg.ffn_dim
+    ks = jax.random.split(key, 4)
+    return {
+        "qkv": init_linear(ks[0], d, 3 * d, 0.02, True, dtype),
+        "out": init_linear(ks[1], d, d, 0.02, True, dtype),
+        "ln_attn": init_ln(d, dtype),
+        "fc1": init_linear(ks[2], d, f, 0.02, True, dtype),
+        "fc2": init_linear(ks[3], f, d, 0.02, True, dtype),
+        "ln_ffn": init_ln(d, dtype),
+    }
+
+
+def init_shape_opt_params(key, cfg: ShapeOPTConfig, dtype=jnp.float32) -> dict:
+    from meshanything_tpu.models.layers import stack_layer_params
+
+    d = cfg.hidden_size
+    ks = jax.random.split(key, 8)
+    layers = [init_opt_layer(k, cfg, dtype) for k in jax.random.split(ks[0], cfg.num_layers)]
+    return {
+        "extra_embeds": jax.random.normal(ks[1], (3, d), dtype) * 0.02,
+        "input_layer": init_linear(ks[2], cfg.codebook_dim, d, 0.02, True, dtype),
+        "embed_positions": jax.random.normal(ks[3], (cfg.max_positions + cfg.pos_offset, d), dtype) * 0.02,
+        "face_positions": jax.random.normal(ks[4], (cfg.num_face_pos, d), dtype) * 0.02,
+        "cond_embed": jax.random.normal(ks[5], (2, d), dtype) * 0.02,
+        "codebook": jax.random.normal(ks[6], (cfg.codebook_size, cfg.codebook_dim), dtype) * 0.02,
+        "layers": stack_layer_params(layers),
+        "lm_head": {"w": jax.random.normal(ks[7], (d, cfg.vocab_size), dtype) * 0.02},
+    }
+
+
+# ---------------------------------------------------------------------------
+# embedding
+
+
+def embed_tokens(params: dict, cfg: ShapeOPTConfig, ids: jax.Array) -> jax.Array:
+    """Hybrid embedding (shape_opt.py:237-245), branchless.
+
+    ids: (..., ) int32 in [0, vocab). Special ids {0,1,2} hit
+    extra_embeds; the rest project quantize_codebooks[id-3] through
+    input_layer.
+    """
+    is_special = ids < 3
+    special = params["extra_embeds"][jnp.clip(ids, 0, 2)]
+    code = params["codebook"][jnp.clip(ids - 3, 0, cfg.codebook_size - 1)]
+    projected = linear(code.astype(special.dtype), params["input_layer"]["w"], params["input_layer"]["b"])
+    return jnp.where(is_special[..., None], special, projected)
+
+
+def face_phase_ids(ids: jax.Array, gen_index: jax.Array, face_per_token: int) -> jax.Array:
+    """Face positional id for generated token at generated-index
+    ``gen_index`` (0 == bos prediction slot; coordinate tokens start at
+    gen_index 1). Specials keep their id; coords get
+    ((gen_index - 1) mod 9) + 3 — equal to the reference's
+    ((mask_len - 2) mod 9) + 3 with mask_len = gen_index + 1
+    (shape_opt.py:457)."""
+    phase = (gen_index - 1) % face_per_token + 3
+    return jnp.where(ids < 3, ids, phase)
+
+
+# ---------------------------------------------------------------------------
+# transformer core
+
+
+def _opt_layer_prefill(cfg: ShapeOPTConfig):
+    """Returns a scan body over stacked layer params for the causal
+    prefill pass; emits per-layer (k, v) for the cache."""
+    h = cfg.num_heads
+    d = cfg.head_dim
+
+    def body(x, p):
+        b, n, _ = x.shape
+        residual = x
+        qkv = linear(x, p["qkv"]["w"], p["qkv"]["b"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, n, h, d)
+        k = k.reshape(b, n, h, d)
+        v = v.reshape(b, n, h, d)
+        from meshanything_tpu.models.layers import attention
+
+        o = attention(q, k, v, causal=True)
+        x = residual + linear(o.reshape(b, n, h * d), p["out"]["w"], p["out"]["b"])
+        x = layer_norm(x, p["ln_attn"]["scale"], p["ln_attn"]["bias"], cfg.ln_eps)
+
+        residual = x
+        x2 = jax.nn.relu(linear(x, p["fc1"]["w"], p["fc1"]["b"]))
+        x = residual + linear(x2, p["fc2"]["w"], p["fc2"]["b"])
+        x = layer_norm(x, p["ln_ffn"]["scale"], p["ln_ffn"]["bias"], cfg.ln_eps)
+        return x, (k, v)
+
+    return body
+
+
+def prefill(
+    params: dict,
+    cfg: ShapeOPTConfig,
+    cond_embeds: jax.Array,
+    kv_len: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Run the condition pass (inputs_embeds path, shape_opt.py:331-337).
+
+    cond_embeds: (B, C, d) projected point features.
+    Returns (logits_last (B, vocab), kv_cache (2, L, B, kv_len, H, D)).
+    """
+    b, c, d = cond_embeds.shape
+    x = cond_embeds + params["cond_embed"][0].astype(cond_embeds.dtype)
+    positions = jnp.arange(c) + cfg.pos_offset
+    x = x + params["embed_positions"][positions].astype(x.dtype)
+
+    body = _opt_layer_prefill(cfg)
+    x, (ks, vs) = jax.lax.scan(lambda h, p: body(h, p), x, params["layers"])
+    # ks: (L, B, C, H, D) -> pad to kv_len
+    pad = kv_len - c
+    ks = jnp.pad(ks, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+    vs = jnp.pad(vs, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+    logits = linear(x[:, -1], params["lm_head"]["w"])
+    return logits.astype(jnp.float32), jnp.stack([ks, vs])
+
+
+def forward_full(
+    params: dict,
+    cfg: ShapeOPTConfig,
+    cond_embeds: jax.Array,
+    token_ids: jax.Array,
+    token_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Teacher-forcing pass over [condition ‖ tokens] -> logits for every
+    position (the training-path equivalent of shape_opt.py:318-328 with
+    input_ids + 2D mask). token_ids: (B, T) int32. Returns (B, C+T, vocab).
+    """
+    b, c, _ = cond_embeds.shape
+    t = token_ids.shape[1]
+
+    cond_x = cond_embeds + params["cond_embed"][0].astype(cond_embeds.dtype)
+
+    tok = embed_tokens(params, cfg, token_ids)
+    gen_index = jnp.broadcast_to(jnp.arange(t), (b, t))
+    fids = face_phase_ids(token_ids, gen_index, cfg.face_per_token)
+    tok = tok + params["face_positions"][fids].astype(tok.dtype)
+    tok = tok + params["cond_embed"][1].astype(tok.dtype)
+
+    x = jnp.concatenate([cond_x, tok], axis=1)
+    positions = jnp.arange(c + t) + cfg.pos_offset
+    x = x + params["embed_positions"][positions].astype(x.dtype)
+
+    body = _opt_layer_prefill(cfg)
+    x, _ = jax.lax.scan(lambda h, p: body(h, p), x, params["layers"])
+    return linear(x, params["lm_head"]["w"]).astype(jnp.float32)
+
+
+def _opt_layer_decode(cfg: ShapeOPTConfig, kv_slice_len: int):
+    """Scan body for one decode step: single query token against the
+    first ``kv_slice_len`` cache slots (a static bucket bound)."""
+    h = cfg.num_heads
+    hd = cfg.head_dim
+
+    def body(carry, p_and_kv):
+        x, cur_len, write_pos = carry
+        p, k_cache, v_cache = p_and_kv
+        b = x.shape[0]
+        residual = x
+        qkv = linear(x, p["qkv"]["w"], p["qkv"]["b"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, 1, h, hd)
+        k = k.reshape(b, 1, h, hd)
+        v = v.reshape(b, 1, h, hd)
+
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, write_pos, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, write_pos, 0, 0))
+
+        keys = k_cache[:, :kv_slice_len]
+        vals = v_cache[:, :kv_slice_len]
+        scale = 1.0 / (hd ** 0.5)
+        logits = jnp.einsum("bqhd,bshd->bhqs", q * jnp.asarray(scale, q.dtype), keys,
+                            preferred_element_type=jnp.float32)
+        span = jnp.arange(kv_slice_len)
+        mask = span[None, None, None, :] <= write_pos
+        logits = jnp.where(mask, logits, jnp.float32(-1e30))
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+        o = jnp.einsum("bhqs,bshd->bqhd", w, vals, preferred_element_type=q.dtype)
+
+        x = residual + linear(o.reshape(b, 1, h * hd), p["out"]["w"], p["out"]["b"])
+        x = layer_norm(x, p["ln_attn"]["scale"], p["ln_attn"]["bias"], cfg.ln_eps)
+        residual = x
+        x2 = jax.nn.relu(linear(x, p["fc1"]["w"], p["fc1"]["b"]))
+        x = residual + linear(x2, p["fc2"]["w"], p["fc2"]["b"])
+        x = layer_norm(x, p["ln_ffn"]["scale"], p["ln_ffn"]["bias"], cfg.ln_eps)
+        return (x, cur_len, write_pos), (k_cache, v_cache)
+
+    return body
+
+
+class DecodeState(NamedTuple):
+    step: jax.Array          # scalar int32: number of generated tokens so far
+    tokens: jax.Array        # (B, gen_len) int32 output buffer (eos-prefilled)
+    kv: jax.Array            # (2, L, B, S_max, H, D)
+    done: jax.Array          # (B,) bool — row emitted eos
+    last_token: jax.Array    # (B,) int32 token to feed next
+    key: jax.Array           # PRNG key (sampling mode)
+
+
+def _decode_step(params, cfg: ShapeOPTConfig, state: DecodeState, kv_slice_len: int,
+                 *, sampling: bool, top_k: int, top_p: float, temperature: float) -> DecodeState:
+    b = state.last_token.shape[0]
+    dtype = params["cond_embed"].dtype
+
+    # the token being fed was generated at gen-index (step - 1) and sits
+    # at absolute position cond_length + step - 1
+    ids = state.last_token
+    gen_index = state.step - 1
+    x = embed_tokens(params, cfg, ids).astype(dtype)
+    fids = face_phase_ids(ids, gen_index, cfg.face_per_token)
+    x = x + params["face_positions"][fids].astype(dtype)
+    x = x + params["cond_embed"][1].astype(dtype)
+    abs_pos = cfg.cond_length + gen_index
+    x = x + params["embed_positions"][abs_pos + cfg.pos_offset].astype(dtype)
+    x = x[:, None, :]  # (B, 1, d)
+
+    body = _opt_layer_decode(cfg, kv_slice_len)
+    (x, _, _), (ks, vs) = jax.lax.scan(
+        lambda c, pkv: body(c, pkv),
+        (x, abs_pos + 1, abs_pos),
+        (params["layers"], state.kv[0], state.kv[1]),
+    )
+    kv = jnp.stack([ks, vs])
+
+    logits = linear(x[:, 0], params["lm_head"]["w"]).astype(jnp.float32)
+
+    key, subkey = jax.random.split(state.key)
+    next_token = sample_token(
+        subkey, logits, sampling=sampling, top_k=top_k, top_p=top_p, temperature=temperature
+    )
+    # finished rows emit pad (HF generate semantics, meshanything.py:150)
+    next_token = jnp.where(state.done, cfg.pad_token_id, next_token)
+    new_done = state.done | (next_token == cfg.eos_token_id)
+
+    tokens = jax.lax.dynamic_update_slice(
+        state.tokens, next_token[:, None].astype(state.tokens.dtype), (0, state.step)
+    )
+    return DecodeState(state.step + 1, tokens, kv, new_done, next_token, key)
+
+
+def generate(
+    params: dict,
+    cfg: ShapeOPTConfig,
+    cond_embeds: jax.Array,
+    *,
+    max_new_tokens: int,
+    key: Optional[jax.Array] = None,
+    sampling: bool = False,
+    top_k: int = 50,
+    top_p: float = 0.95,
+    temperature: float = 1.0,
+    bucket: int = 512,
+) -> jax.Array:
+    """Autoregressive generation: TPU-resident replacement for
+    ``transformer.generate`` (meshanything.py:144-162).
+
+    Returns (B, max_new_tokens) int32, eos-prefilled past the stop point
+    (matching the reference's eos-filled output buffer,
+    meshanything.py:142,163-164).
+
+    Execution: prefill writes the cache; then one lax.while_loop per KV
+    bucket — inside a bucket, attention reads a static slice
+    ``cache[:, :bucket_end]``, so early steps never touch the far end of
+    the 7.5k-slot cache. Each loop exits early once all rows are done.
+    """
+    b, c, _ = cond_embeds.shape
+    s_max = c + max_new_tokens
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    logits0, kv = prefill(params, cfg, cond_embeds, s_max)
+    key, subkey = jax.random.split(key)
+    first = sample_token(
+        subkey, logits0, sampling=sampling, top_k=top_k, top_p=top_p, temperature=temperature
+    )
+
+    tokens = jnp.full((b, max_new_tokens), cfg.eos_token_id, jnp.int32)
+    tokens = tokens.at[:, 0].set(first)
+    state = DecodeState(
+        step=jnp.asarray(1, jnp.int32),
+        tokens=tokens,
+        kv=kv,
+        done=first == cfg.eos_token_id,
+        last_token=first,
+        key=key,
+    )
+
+    step_kw = dict(sampling=sampling, top_k=top_k, top_p=top_p, temperature=temperature)
+
+    # static bucket schedule over absolute kv length
+    starts = list(range(0, s_max, bucket))
+    for bstart in starts:
+        bend = min(bstart + bucket, s_max)
+        if bend <= c:
+            continue
+
+        def cond_fn(st, _bend=bend):
+            # the next fed token writes KV slot cond_length + step - 1,
+            # which must stay inside this bucket's static read window
+            in_bucket = (cfg.cond_length + st.step - 1) < _bend
+            return in_bucket & (st.step < max_new_tokens) & ~jnp.all(st.done)
+
+        def body_fn(st, _bend=bend):
+            return _decode_step(params, cfg, st, _bend, **step_kw)
+
+        state = jax.lax.while_loop(cond_fn, body_fn, state)
+
+    return state.tokens

@@ -1,0 +1,173 @@
+// Native geometry kernels for the host-side preprocessing path.
+//
+// udf_grid: exact unsigned distance from every node of a size^3 grid to
+// a triangle mesh, computed over a uniform-grid spatial index so each
+// node only tests nearby triangles. TPU-native replacement for the
+// mesh2sdf C++ dependency (mesh_to_pc.py:30) — the reference's
+// marching-cubes level set uses |sdf|, so the sign is not needed.
+//
+// Exposed with C linkage for ctypes (no pybind11 in this image).
+//
+// Build: see build.sh (g++ -O3 -shared -fPIC).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Vec3 {
+  double x, y, z;
+};
+
+static inline Vec3 sub(const Vec3& a, const Vec3& b) { return {a.x - b.x, a.y - b.y, a.z - b.z}; }
+static inline double dot(const Vec3& a, const Vec3& b) { return a.x * b.x + a.y * b.y + a.z * b.z; }
+static inline Vec3 add(const Vec3& a, const Vec3& b) { return {a.x + b.x, a.y + b.y, a.z + b.z}; }
+static inline Vec3 scale(const Vec3& a, double s) { return {a.x * s, a.y * s, a.z * s}; }
+
+// Ericson, Real-Time Collision Detection: closest point on triangle.
+static inline double point_tri_dist2(const Vec3& p, const Vec3& a, const Vec3& b, const Vec3& c) {
+  Vec3 ab = sub(b, a), ac = sub(c, a), ap = sub(p, a);
+  double d1 = dot(ab, ap), d2 = dot(ac, ap);
+  if (d1 <= 0.0 && d2 <= 0.0) { Vec3 d = sub(p, a); return dot(d, d); }
+
+  Vec3 bp = sub(p, b);
+  double d3 = dot(ab, bp), d4 = dot(ac, bp);
+  if (d3 >= 0.0 && d4 <= d3) { Vec3 d = sub(p, b); return dot(d, d); }
+
+  double vc = d1 * d4 - d3 * d2;
+  if (vc <= 0.0 && d1 >= 0.0 && d3 <= 0.0) {
+    double v = d1 / (d1 - d3);
+    Vec3 q = add(a, scale(ab, v));
+    Vec3 d = sub(p, q); return dot(d, d);
+  }
+
+  Vec3 cp = sub(p, c);
+  double d5 = dot(ab, cp), d6 = dot(ac, cp);
+  if (d6 >= 0.0 && d5 <= d6) { Vec3 d = sub(p, c); return dot(d, d); }
+
+  double vb = d5 * d2 - d1 * d6;
+  if (vb <= 0.0 && d2 >= 0.0 && d6 <= 0.0) {
+    double w = d2 / (d2 - d6);
+    Vec3 q = add(a, scale(ac, w));
+    Vec3 d = sub(p, q); return dot(d, d);
+  }
+
+  double va = d3 * d6 - d5 * d4;
+  if (va <= 0.0 && (d4 - d3) >= 0.0 && (d5 - d6) >= 0.0) {
+    double w = (d4 - d3) / ((d4 - d3) + (d5 - d6));
+    Vec3 q = add(b, scale(sub(c, b), w));
+    Vec3 d = sub(p, q); return dot(d, d);
+  }
+
+  double denom = 1.0 / (va + vb + vc);
+  double v = vb * denom, w = vc * denom;
+  Vec3 q = add(a, add(scale(ab, v), scale(ac, w)));
+  Vec3 d = sub(p, q); return dot(d, d);
+}
+
+}  // namespace
+
+extern "C" {
+
+// out: size^3 float32 distances, C-order (x-major like numpy (x,y,z)).
+// Grid node i has coordinate lo + spacing * i on every axis.
+void udf_grid(const double* vertices, int nv,
+              const int64_t* faces, int nf,
+              int size, double lo, double spacing,
+              float* out) {
+  (void)nv;
+  const int64_t n3 = static_cast<int64_t>(size) * size * size;
+
+  // Bucket triangles into coarse cells of the same grid; a triangle
+  // lands in every cell its (padded) bbox touches.
+  auto cell_of = [&](double v) {
+    int c = static_cast<int>(std::floor((v - lo) / spacing));
+    return std::min(std::max(c, 0), size - 1);
+  };
+
+  std::vector<std::vector<int>> buckets(static_cast<size_t>(n3));
+  const double pad = spacing;  // one-cell halo
+  for (int t = 0; t < nf; ++t) {
+    const double* A = vertices + 3 * faces[3 * t + 0];
+    const double* B = vertices + 3 * faces[3 * t + 1];
+    const double* C = vertices + 3 * faces[3 * t + 2];
+    double bb_lo[3], bb_hi[3];
+    for (int k = 0; k < 3; ++k) {
+      bb_lo[k] = std::min({A[k], B[k], C[k]}) - pad;
+      bb_hi[k] = std::max({A[k], B[k], C[k]}) + pad;
+    }
+    int x0 = cell_of(bb_lo[0]), x1 = cell_of(bb_hi[0]);
+    int y0 = cell_of(bb_lo[1]), y1 = cell_of(bb_hi[1]);
+    int z0 = cell_of(bb_lo[2]), z1 = cell_of(bb_hi[2]);
+    for (int x = x0; x <= x1; ++x)
+      for (int y = y0; y <= y1; ++y)
+        for (int z = z0; z <= z1; ++z)
+          buckets[(static_cast<int64_t>(x) * size + y) * size + z].push_back(t);
+  }
+
+  // Pass 1: exact distance for nodes whose cell neighborhood holds
+  // triangles; mark the rest for BFS fill.
+  std::vector<float> field(static_cast<size_t>(n3), -1.0f);
+  for (int x = 0; x < size; ++x) {
+    for (int y = 0; y < size; ++y) {
+      for (int z = 0; z < size; ++z) {
+        Vec3 p{lo + spacing * x, lo + spacing * y, lo + spacing * z};
+        double best = 1e300;
+        bool found = false;
+        // search own cell + 1-ring (triangles were padded by one cell)
+        const auto& cell = buckets[(static_cast<int64_t>(x) * size + y) * size + z];
+        for (int t : cell) {
+          const Vec3 A{vertices[3 * faces[3 * t] + 0], vertices[3 * faces[3 * t] + 1], vertices[3 * faces[3 * t] + 2]};
+          const Vec3 B{vertices[3 * faces[3 * t + 1] + 0], vertices[3 * faces[3 * t + 1] + 1], vertices[3 * faces[3 * t + 1] + 2]};
+          const Vec3 C{vertices[3 * faces[3 * t + 2] + 0], vertices[3 * faces[3 * t + 2] + 1], vertices[3 * faces[3 * t + 2] + 2]};
+          best = std::min(best, point_tri_dist2(p, A, B, C));
+          found = true;
+        }
+        field[(static_cast<int64_t>(x) * size + y) * size + z] =
+            found ? static_cast<float>(std::sqrt(best)) : -1.0f;
+      }
+    }
+  }
+
+  // Pass 2: approximate far field by outward Chamfer sweeps (two passes
+  // of a 26-neighborhood distance transform seeded by the exact band).
+  // Far values only need to exceed the marching level (2/size), which
+  // the band already brackets, so the approximation is safe.
+  const float step1 = static_cast<float>(spacing);
+  const float step2 = step1 * 1.41421356f;
+  const float step3 = step1 * 1.73205081f;
+  auto idx = [&](int x, int y, int z) {
+    return (static_cast<int64_t>(x) * size + y) * size + z;
+  };
+  const float INF = 3.0e38f;
+  for (int64_t i = 0; i < n3; ++i)
+    if (field[i] < 0.0f) field[i] = INF;
+
+  auto relax = [&](int x, int y, int z) {
+    float& v = field[idx(x, y, z)];
+    for (int dx = -1; dx <= 1; ++dx)
+      for (int dy = -1; dy <= 1; ++dy)
+        for (int dz = -1; dz <= 1; ++dz) {
+          if (!dx && !dy && !dz) continue;
+          int nx = x + dx, ny = y + dy, nz2 = z + dz;
+          if (nx < 0 || ny < 0 || nz2 < 0 || nx >= size || ny >= size || nz2 >= size) continue;
+          int m = std::abs(dx) + std::abs(dy) + std::abs(dz);
+          float w = m == 1 ? step1 : (m == 2 ? step2 : step3);
+          float cand = field[idx(nx, ny, nz2)] + w;
+          if (cand < v) v = cand;
+        }
+  };
+  for (int x = 0; x < size; ++x)
+    for (int y = 0; y < size; ++y)
+      for (int z = 0; z < size; ++z) relax(x, y, z);
+  for (int x = size - 1; x >= 0; --x)
+    for (int y = size - 1; y >= 0; --y)
+      for (int z = size - 1; z >= 0; --z) relax(x, y, z);
+
+  std::memcpy(out, field.data(), sizeof(float) * static_cast<size_t>(n3));
+}
+
+}  // extern "C"

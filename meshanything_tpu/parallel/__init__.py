@@ -1,0 +1,6 @@
+from meshanything_tpu.parallel.mesh import (
+    create_mesh,
+    param_shardings,
+    batch_sharding,
+    replicated,
+)

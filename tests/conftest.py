@@ -3,10 +3,19 @@ import os
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding is
 # exercised without TPU hardware (SURVEY.md §4: the reference has no
 # distributed-test story; this fixes that gap).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+#
+# The session image force-registers the "axon" TPU platform through a
+# sitecustomize hook that overrides JAX_PLATFORMS, so the platform must
+# be pinned via jax.config before any backend initialization.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# full-precision f32 matmuls for numerical parity assertions
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -15,3 +24,10 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    devs = jax.devices("cpu")
+    assert len(devs) == 8
+    return devs

@@ -1,0 +1,136 @@
+"""NRD (BERT detokenizer) parity + full-model composition tests."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from meshanything_tpu.config import NRDConfig, small_test_config
+from meshanything_tpu.models import nrd as nrd_mod
+from meshanything_tpu.models import meshanything as ma
+from meshanything_tpu.runtime.checkpoint import convert_bert_encoder, to_device_tree
+
+NCFG = NRDConfig(
+    hidden_size=48, num_layers=2, num_heads=4, intermediate_size=96,
+    codebook_dim=32, cond_length=9, cond_dim=48, max_faces_pos=64,
+)
+
+
+def test_bert_layer_parity_with_hf(rng):
+    """Our scan-able BERT layer vs HF BertEncoder (post-LN, eps 1e-12)."""
+    import torch
+    from transformers.models.bert.modeling_bert import BertEncoder, BertConfig
+
+    cfg = BertConfig(
+        hidden_size=NCFG.hidden_size, num_hidden_layers=NCFG.num_layers,
+        num_attention_heads=NCFG.num_heads, intermediate_size=NCFG.intermediate_size,
+        hidden_act="gelu", attn_implementation="eager",
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    enc = BertEncoder(cfg).eval()
+
+    sd = {k: v.numpy() for k, v in enc.state_dict().items()}
+    params = to_device_tree(convert_bert_encoder(sd, NCFG, ""))
+
+    x = rng.normal(size=(2, 11, NCFG.hidden_size)).astype(np.float32)
+    with torch.no_grad():
+        ref = enc(torch.from_numpy(x)).last_hidden_state.numpy()
+
+    h = jnp.asarray(x)
+
+    def body(carry, p):
+        return nrd_mod.bert_layer_apply(carry, p, num_heads=NCFG.num_heads, ln_eps=NCFG.ln_eps), None
+
+    ours, _ = jax.lax.scan(body, h, params)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5, rtol=1e-4)
+
+
+def test_decode_faces_masking(rng):
+    """Faces with any pad token -> NaN output; others finite and on the
+    1/128 grid in [-0.5, 0.5)."""
+    params = nrd_mod.init_nrd_params(jax.random.PRNGKey(0), NCFG)
+    b, nf = 2, 4
+    ids = rng.integers(0, 60, size=(b, nf * 9)).astype(np.int32)
+    ids[0, 9:18] = -1     # face 1 of row 0 padded
+    ids[1, -1] = -1       # last face of row 1 partially padded
+    codes = rng.normal(size=(b, nf * 3, NCFG.codebook_dim)).astype(np.float32)
+    pf = rng.normal(size=(b, NCFG.cond_length, NCFG.cond_dim)).astype(np.float32)
+
+    out = np.asarray(nrd_mod.decode_faces(params, NCFG, jnp.asarray(ids), jnp.asarray(codes), jnp.asarray(pf)))
+    assert out.shape == (b, nf, 3, 3)
+    assert np.isnan(out[0, 1]).all()
+    assert np.isnan(out[1, 3]).all()
+    valid = out[0, 0]
+    assert np.isfinite(valid).all()
+    bins = (valid + 0.5) * 128
+    np.testing.assert_allclose(bins, np.round(bins), atol=1e-4)
+    assert (valid >= -0.5).all() and (valid < 0.5).all()
+
+
+def test_get_codes_formula(rng):
+    """get_codes (meshanything.py:178-212): reshape (B, n, 3), dummy-0
+    gather with mask, sum over the quantizer axis."""
+    cfg = small_test_config()
+    params = ma.init_meshanything_params(jax.random.PRNGKey(0), cfg)
+    codebook = np.asarray(params["opt"]["codebook"])
+
+    ids = rng.integers(-1, cfg.opt.codebook_size, size=(2, 18)).astype(np.int32)
+    out = np.asarray(ma.get_codes(params, cfg, jnp.asarray(ids)))
+
+    idx = ids.reshape(2, 6, 3)
+    expect = np.zeros((2, 6, cfg.opt.codebook_dim), np.float32)
+    for b in range(2):
+        for n in range(6):
+            for q in range(3):
+                if idx[b, n, q] != -1:
+                    expect[b, n] += codebook[idx[b, n, q]]
+    np.testing.assert_allclose(out, expect, atol=1e-5)
+
+
+def test_token_postprocess():
+    cfg = small_test_config()
+    raw = jnp.asarray([[0, 5, 6, 7, 3, 1, 2, 2]])  # bos, codes, eos, pads
+    out = np.asarray(ma.token_postprocess(cfg, raw))
+    # strip bos (predicted) and final slot; specials -> -1; -3 shift
+    np.testing.assert_array_equal(out[0], [2, 3, 4, 0, -1, -1])
+
+
+def test_end_to_end_generate_small(rng):
+    """Full composition on the small config: shapes, determinism, NaN
+    padding structure."""
+    cfg = small_test_config(n_max_triangles=4)
+    params = ma.init_meshanything_params(jax.random.PRNGKey(0), cfg)
+    pc = jnp.asarray(rng.normal(size=(2, cfg.perceiver.num_points, 6)).astype(np.float32) * 0.5)
+
+    out = ma.generate(params, cfg, pc, bucket=16)
+    assert out.face_coords.shape == (2, 4, 3, 3)
+    assert out.token_ids.shape == (2, cfg.generate_length)
+
+    out2 = ma.generate(params, cfg, pc, bucket=16)
+    np.testing.assert_array_equal(np.asarray(out.token_ids), np.asarray(out2.token_ids))
+
+    # every face is either fully NaN or fully finite
+    fc = np.asarray(out.face_coords)
+    for b in range(2):
+        for f in range(4):
+            face = fc[b, f]
+            assert np.isnan(face).all() or np.isfinite(face).all()
+
+
+def test_end_to_end_sampling_seeded(rng):
+    cfg = small_test_config(n_max_triangles=4)
+    params = ma.init_meshanything_params(jax.random.PRNGKey(1), cfg)
+    pc = jnp.asarray(rng.normal(size=(1, cfg.perceiver.num_points, 6)).astype(np.float32))
+    a = ma.generate(params, cfg, pc, sampling=True, key=jax.random.PRNGKey(11), bucket=16)
+    b = ma.generate(params, cfg, pc, sampling=True, key=jax.random.PRNGKey(11), bucket=16)
+    np.testing.assert_array_equal(np.asarray(a.token_ids), np.asarray(b.token_ids))
+
+
+def test_forward_logits_shape(rng):
+    cfg = small_test_config(n_max_triangles=4)
+    params = ma.init_meshanything_params(jax.random.PRNGKey(0), cfg)
+    pc = jnp.asarray(rng.normal(size=(1, cfg.perceiver.num_points, 6)).astype(np.float32))
+    toks = jnp.asarray(rng.integers(0, cfg.opt.vocab_size, size=(1, 12)).astype(np.int32))
+    logits = ma.forward_logits(params, cfg, pc, toks)
+    assert logits.shape == (1, cfg.cond_length + 12, cfg.opt.vocab_size)
