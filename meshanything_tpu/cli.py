@@ -40,6 +40,8 @@ def get_args(argv=None):
     parser.add_argument("--random_weights", default=False, action="store_true",
                         help="skip checkpoint loading (smoke tests)")
     parser.add_argument("--metrics_out", default=None, type=str)
+    parser.add_argument("--resume", default=False, action="store_true",
+                        help="skip inputs whose output OBJ already exists")
     parser.add_argument("--help", action="help")
 
     return parser.parse_args(argv)
@@ -101,6 +103,9 @@ def collect_inputs(args):
 
 
 def main(argv=None):
+    from meshanything_tpu.runtime.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
     args = get_args(argv)
     cfg = build_config(args)
 
@@ -123,7 +128,8 @@ def main(argv=None):
     )
     begin = time.time()
     print("Generation Start!!!")
-    results = pipe.run(samples, out_dir, sampling=args.sampling, seed=args.seed)
+    results = pipe.run(samples, out_dir, sampling=args.sampling, seed=args.seed,
+                       resume=args.resume)
     for r in results:
         print(f"{r.get('obj_path', r['uid'])} Over!!")
     print(f"Total time: {time.time() - begin}")

@@ -28,7 +28,7 @@ meshanything.py:144-162):
     sequence instead of paying the full 7459-slot cache every step.
     Early exit when every row has emitted eos.
 
-The KV cache is preallocated (2, L, B, S_max, H, D) and updated with
+The KV cache is preallocated (2, L, B, S_max, H*D) and updated with
 dynamic_update_slice — the fixed-shape long-context recipe
 (SURVEY.md §5.7).
 """
@@ -156,7 +156,7 @@ def prefill(
     """Run the condition pass (inputs_embeds path, shape_opt.py:331-337).
 
     cond_embeds: (B, C, d) projected point features.
-    Returns (logits_last (B, vocab), kv_cache (2, L, B, kv_len, H, D)).
+    Returns (logits_last (B, vocab), kv_cache (2, L, B, kv_len, H*D)).
     """
     b, c, d = cond_embeds.shape
     x = cond_embeds + params["cond_embed"][0].astype(cond_embeds.dtype)
@@ -165,10 +165,16 @@ def prefill(
 
     body = _opt_layer_prefill(cfg)
     x, (ks, vs) = jax.lax.scan(lambda h, p: body(h, p), x, params["layers"])
-    # ks: (L, B, C, H, D) -> pad to kv_len
+    # ks: (L, B, C, H, D) -> flat-head rows (L, B, C, H*D), padded to
+    # kv_len. The flat layout is the cache contract (see
+    # ops/decode_attention.py: a (..., H, 64) layout lane-pads to 128
+    # and every later reshape would copy the whole cache).
+    lcnt, bsz = ks.shape[0], ks.shape[1]
+    ks = ks.reshape(lcnt, bsz, c, cfg.hidden_size)
+    vs = vs.reshape(lcnt, bsz, c, cfg.hidden_size)
     pad = kv_len - c
-    ks = jnp.pad(ks, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
-    vs = jnp.pad(vs, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+    ks = jnp.pad(ks, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    vs = jnp.pad(vs, ((0, 0), (0, 0), (0, pad), (0, 0)))
     logits = linear(x[:, -1], params["lm_head"]["w"])
     return logits.astype(jnp.float32), jnp.stack([ks, vs])
 
@@ -204,44 +210,74 @@ def forward_full(
     return linear(x, params["lm_head"]["w"]).astype(jnp.float32)
 
 
-def _opt_layer_decode(cfg: ShapeOPTConfig, kv_slice_len: int):
+def _opt_layer_decode(cfg: ShapeOPTConfig, kv_slice_len: int, attn: str = "xla",
+                      chunk: int = 512, interpret: bool = False):
     """Scan body for one decode step: single query token against the
-    first ``kv_slice_len`` cache slots (a static bucket bound)."""
+    cache.
+
+    The full KV cache rides in the scan *carry* and is updated with
+    dynamic_update_slice — XLA aliases carry buffers in place, so each
+    step touches only the new slot instead of re-materializing the
+    1.4 GB cache (the naive stacked-ys formulation costs a full cache
+    copy per token).
+
+    attn="pallas": the flash-decoding kernel streams exactly
+    ``write_pos+1`` cache rows from HBM (ops/decode_attention.py).
+    attn="xla": slice a static ``kv_slice_len`` window (bucket bound).
+    """
     h = cfg.num_heads
     hd = cfg.head_dim
 
-    def body(carry, p_and_kv):
-        x, cur_len, write_pos = carry
-        p, k_cache, v_cache = p_and_kv
+    def body(carry, p_and_idx):
+        x, kv, write_pos = carry
+        p, layer_idx = p_and_idx
         b = x.shape[0]
+        d_model = h * hd
         residual = x
         qkv = linear(x, p["qkv"]["w"], p["qkv"]["b"])
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, 1, h, hd)
-        k = k.reshape(b, 1, h, hd)
-        v = v.reshape(b, 1, h, hd)
+        # cache rows are flat (H*D,) — the layout contract of
+        # ops/decode_attention.py
+        k_row = k.reshape(b, 1, d_model)[None, None]   # (1, 1, B, 1, H*D)
+        v_row = v.reshape(b, 1, d_model)[None, None]
 
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, write_pos, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, write_pos, 0, 0))
+        zero = jnp.zeros((), jnp.int32)
+        kv = jax.lax.dynamic_update_slice(kv, k_row, (zero, layer_idx, zero, write_pos, zero))
+        kv = jax.lax.dynamic_update_slice(kv, v_row, (jnp.ones((), jnp.int32), layer_idx, zero, write_pos, zero))
 
-        keys = k_cache[:, :kv_slice_len]
-        vals = v_cache[:, :kv_slice_len]
-        scale = 1.0 / (hd ** 0.5)
-        logits = jnp.einsum("bqhd,bshd->bhqs", q * jnp.asarray(scale, q.dtype), keys,
-                            preferred_element_type=jnp.float32)
-        span = jnp.arange(kv_slice_len)
-        mask = span[None, None, None, :] <= write_pos
-        logits = jnp.where(mask, logits, jnp.float32(-1e30))
-        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-        o = jnp.einsum("bhqs,bshd->bqhd", w, vals, preferred_element_type=q.dtype)
+        if attn == "pallas":
+            from meshanything_tpu.ops.decode_attention import decode_attention_impl
 
-        x = residual + linear(o.reshape(b, 1, h * hd), p["out"]["w"], p["out"]["b"])
+            o = decode_attention_impl(
+                q[:, 0], kv, layer_idx, write_pos + 1,
+                chunk=chunk, interpret=interpret,
+            )[:, None]  # (B, 1, H, D)
+        else:
+            # static-size window reads; the dynamic layer index slices
+            # fuse into the attention matmuls
+            window = jax.lax.dynamic_slice(
+                kv, (zero, layer_idx, zero, zero, zero),
+                (2, 1, b, kv_slice_len, d_model),
+            )
+            keys = window[0, 0].reshape(b, kv_slice_len, h, hd)
+            vals = window[1, 0].reshape(b, kv_slice_len, h, hd)
+            scale = 1.0 / (hd ** 0.5)
+            logits = jnp.einsum("bqhd,bshd->bhqs", q * jnp.asarray(scale, q.dtype), keys,
+                                preferred_element_type=jnp.float32)
+            span = jnp.arange(kv_slice_len)
+            mask = span[None, None, None, :] <= write_pos
+            logits = jnp.where(mask, logits, jnp.float32(-1e30))
+            w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+            o = jnp.einsum("bhqs,bshd->bqhd", w, vals, preferred_element_type=q.dtype)
+
+        x = residual + linear(o.reshape(b, 1, h * hd).astype(x.dtype), p["out"]["w"], p["out"]["b"])
         x = layer_norm(x, p["ln_attn"]["scale"], p["ln_attn"]["bias"], cfg.ln_eps)
         residual = x
         x2 = jax.nn.relu(linear(x, p["fc1"]["w"], p["fc1"]["b"]))
         x = residual + linear(x2, p["fc2"]["w"], p["fc2"]["b"])
         x = layer_norm(x, p["ln_ffn"]["scale"], p["ln_ffn"]["bias"], cfg.ln_eps)
-        return (x, cur_len, write_pos), (k_cache, v_cache)
+        return (x, kv, write_pos), None
 
     return body
 
@@ -249,14 +285,15 @@ def _opt_layer_decode(cfg: ShapeOPTConfig, kv_slice_len: int):
 class DecodeState(NamedTuple):
     step: jax.Array          # scalar int32: number of generated tokens so far
     tokens: jax.Array        # (B, gen_len) int32 output buffer (eos-prefilled)
-    kv: jax.Array            # (2, L, B, S_max, H, D)
+    kv: jax.Array            # (2, L, B, S_max, H*D) — flat head rows
     done: jax.Array          # (B,) bool — row emitted eos
     last_token: jax.Array    # (B,) int32 token to feed next
     key: jax.Array           # PRNG key (sampling mode)
 
 
 def _decode_step(params, cfg: ShapeOPTConfig, state: DecodeState, kv_slice_len: int,
-                 *, sampling: bool, top_k: int, top_p: float, temperature: float) -> DecodeState:
+                 *, sampling: bool, top_k: int, top_p: float, temperature: float,
+                 attn: str = "xla", chunk: int = 512, interpret: bool = False) -> DecodeState:
     b = state.last_token.shape[0]
     dtype = params["cond_embed"].dtype
 
@@ -272,13 +309,13 @@ def _decode_step(params, cfg: ShapeOPTConfig, state: DecodeState, kv_slice_len: 
     x = x + params["embed_positions"][abs_pos + cfg.pos_offset].astype(dtype)
     x = x[:, None, :]  # (B, 1, d)
 
-    body = _opt_layer_decode(cfg, kv_slice_len)
-    (x, _, _), (ks, vs) = jax.lax.scan(
+    body = _opt_layer_decode(cfg, kv_slice_len, attn=attn, chunk=chunk, interpret=interpret)
+    layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+    (x, kv, _), _ = jax.lax.scan(
         lambda c, pkv: body(c, pkv),
-        (x, abs_pos + 1, abs_pos),
-        (params["layers"], state.kv[0], state.kv[1]),
+        (x, state.kv, abs_pos),
+        (params["layers"], layer_ids),
     )
-    kv = jnp.stack([ks, vs])
 
     logits = linear(x[:, 0], params["lm_head"]["w"]).astype(jnp.float32)
 
@@ -308,6 +345,8 @@ def generate(
     top_p: float = 0.95,
     temperature: float = 1.0,
     bucket: int = 512,
+    early_exit: bool = True,
+    attn: str = "auto",
 ) -> jax.Array:
     """Autoregressive generation: TPU-resident replacement for
     ``transformer.generate`` (meshanything.py:144-162).
@@ -316,13 +355,24 @@ def generate(
     (matching the reference's eos-filled output buffer,
     meshanything.py:142,163-164).
 
-    Execution: prefill writes the cache; then one lax.while_loop per KV
-    bucket — inside a bucket, attention reads a static slice
-    ``cache[:, :bucket_end]``, so early steps never touch the far end of
-    the 7.5k-slot cache. Each loop exits early once all rows are done.
+    Execution: prefill writes the cache, then the decode loop runs
+    fully on-device.
+
+    attn="pallas" (default on TPU): ONE lax.while_loop; each step's
+    attention is the flash-decoding kernel, streaming exactly the live
+    context from HBM. attn="xla" (default off-TPU): one while_loop per
+    static KV *bucket* — inside a bucket, attention reads the slice
+    ``cache[:, :bucket_end]``, so early steps never touch the far end
+    of the 7.5k-slot cache. Both exit early once all rows are done and
+    produce identical token streams (tests/test_shape_opt.py).
     """
+    if attn == "auto":
+        attn = "pallas" if jax.default_backend() == "tpu" else "xla"
+    interpret = attn == "pallas" and jax.default_backend() != "tpu"
     b, c, _ = cond_embeds.shape
-    s_max = c + max_new_tokens
+    # pad the cache to a chunk multiple: the flash-decode kernel DMAs
+    # whole chunks, so the last chunk must not run past the buffer
+    s_max = -(-(c + max_new_tokens) // bucket) * bucket
     if key is None:
         key = jax.random.PRNGKey(0)
 
@@ -345,7 +395,21 @@ def generate(
 
     step_kw = dict(sampling=sampling, top_k=top_k, top_p=top_p, temperature=temperature)
 
-    # static bucket schedule over absolute kv length
+    if attn == "pallas":
+        def cond_fn(st):
+            live = st.step < max_new_tokens
+            if early_exit:
+                live = live & ~jnp.all(st.done)
+            return live
+
+        def body_fn(st):
+            return _decode_step(params, cfg, st, s_max, attn="pallas",
+                                chunk=bucket, interpret=interpret, **step_kw)
+
+        state = jax.lax.while_loop(cond_fn, body_fn, state)
+        return state.tokens
+
+    # XLA path: static bucket schedule over absolute kv length
     starts = list(range(0, s_max, bucket))
     for bstart in starts:
         bend = min(bstart + bucket, s_max)
@@ -356,10 +420,13 @@ def generate(
             # the next fed token writes KV slot cond_length + step - 1,
             # which must stay inside this bucket's static read window
             in_bucket = (cfg.cond_length + st.step - 1) < _bend
-            return in_bucket & (st.step < max_new_tokens) & ~jnp.all(st.done)
+            live = in_bucket & (st.step < max_new_tokens)
+            if early_exit:
+                live = live & ~jnp.all(st.done)
+            return live
 
         def body_fn(st, _bend=bend):
-            return _decode_step(params, cfg, st, _bend, **step_kw)
+            return _decode_step(params, cfg, st, _bend, attn="xla", **step_kw)
 
         state = jax.lax.while_loop(cond_fn, body_fn, state)
 

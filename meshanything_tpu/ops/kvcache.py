@@ -1,0 +1,52 @@
+"""KV-cache utilities: allocation, layout, and int8 quantization.
+
+Cache layout contract (shared with ops/decode_attention.py and
+models/shape_opt.py): one array (2, L, B, S, H*D) — K at index 0, V at
+index 1 — flat head rows (a (..., H, 64) layout would lane-pad to 128),
+padded so S is a multiple of the decode chunk.
+
+int8 mode: the full-length decode is KV-bandwidth-bound (~2.7 TB of
+cache reads per 800-face mesh, SURVEY.md §6); storing K/V as int8 with
+per-(layer, position, head) scales halves the dominant traffic at the
+cost of <1e-2 attention error. Exact bf16 mode stays the default; the
+quality bound is asserted in tests/test_kvcache.py.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def alloc_kv_cache(
+    num_layers: int, batch: int, seq: int, heads: int, head_dim: int,
+    dtype=jnp.bfloat16, chunk: int = 512,
+) -> jax.Array:
+    padded = -(-seq // chunk) * chunk
+    return jnp.zeros((2, num_layers, batch, padded, heads * head_dim), dtype)
+
+
+class QuantizedKV(NamedTuple):
+    values: jax.Array   # (2, L, B, S, H, D) int8
+    scales: jax.Array   # (2, L, B, S, H, 1) f32  (amax / 127 per row)
+
+
+def quantize_kv(kv: jax.Array) -> QuantizedKV:
+    """Symmetric per-(kv, layer, batch, pos, head) int8 quantization."""
+    amax = jnp.max(jnp.abs(kv.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(kv.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return QuantizedKV(values=q, scales=scale)
+
+
+def dequantize_kv(qkv: QuantizedKV, dtype=jnp.bfloat16) -> jax.Array:
+    return (qkv.values.astype(jnp.float32) * qkv.scales).astype(dtype)
+
+
+def quantize_rows(rows: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Quantize freshly-computed K/V rows (..., D) -> (int8 rows, scales)."""
+    amax = jnp.max(jnp.abs(rows.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(rows.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return q, scale

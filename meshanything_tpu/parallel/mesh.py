@@ -134,7 +134,9 @@ def shape_opt_specs() -> dict:
         "cond_embed": P(),
         "codebook": P(),
         "layers": opt_layer_specs(),
-        "lm_head": {"w": P(None, "model")},
+        # vocab 8195 = 5*11*149 has no useful divisors — the lm_head is
+        # replicated (its (1024, 8195) bf16 slab is ~16 MB, negligible).
+        "lm_head": {"w": P()},
     }
 
 

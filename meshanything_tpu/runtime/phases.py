@@ -1,0 +1,88 @@
+"""Phase-split generation runner.
+
+``models.meshanything.generate`` is one jittable program — right for
+tests and graft entry. For production serving the pipeline compiles
+three smaller programs instead (encode+condition | AR decode | detok):
+compile time drops several-fold, phases can be timed/profiled
+independently (runtime/profiling.py), and the host can overlap
+postprocessing of batch i with the decode of batch i+1.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from meshanything_tpu.config import MeshAnythingConfig
+from meshanything_tpu.models import meshanything as ma
+from meshanything_tpu.models import nrd as nrd_mod
+from meshanything_tpu.models import perceiver as per_mod
+from meshanything_tpu.models import shape_opt as opt_mod
+
+
+class PhaseRunner:
+    """Three compiled programs sharing the params tree."""
+
+    def __init__(self, params, cfg: MeshAnythingConfig, *, bucket: int = 512,
+                 attn: str = "auto", early_exit: bool = True):
+        self.params = params
+        self.cfg = cfg
+        dtype = cfg.activation_dtype
+
+        @jax.jit
+        def encode(params, pc_normal):
+            pf = per_mod.encode_latents(params["perceiver"], cfg.perceiver,
+                                        pc_normal.astype(dtype))
+            cond = ma.process_point_feature(params, cfg, pf)
+            return pf, cond
+
+        @functools.partial(jax.jit, static_argnames=("sampling",))
+        def decode(params, cond, key, sampling):
+            return opt_mod.generate(
+                params["opt"], cfg.opt, cond,
+                max_new_tokens=cfg.generate_length,
+                key=key, sampling=sampling, bucket=bucket,
+                early_exit=early_exit, attn=attn,
+            )
+
+        @jax.jit
+        def detok(params, raw, pf):
+            ids = ma.token_postprocess(cfg, raw)
+            codes = ma.get_codes(params, cfg, ids)
+            return nrd_mod.decode_faces(
+                params["nrd"], cfg.nrd, ids, codes.astype(dtype), pf
+            )
+
+        self._encode = encode
+        self._decode = decode
+        self._detok = detok
+
+    def __call__(self, pc_normal: jax.Array, *, sampling: bool = False,
+                 key: Optional[jax.Array] = None, timer=None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        import contextlib
+
+        def phase(name):
+            return timer.phase(name) if timer is not None else contextlib.nullcontext()
+
+        def fence(x):
+            # device_get of one element is the only reliable execution
+            # fence on this platform (block_until_ready returns early on
+            # the axon backend); only paid when timing is requested.
+            if timer is not None:
+                jax.device_get(x.ravel()[0])
+
+        with phase("encode"):
+            pf, cond = self._encode(self.params, pc_normal)
+            fence(cond)
+        with phase("decode"):
+            raw = self._decode(self.params, cond, key, sampling)
+            fence(raw)
+        with phase("detok"):
+            coords = self._detok(self.params, raw, pf)
+            fence(coords)
+        return ma.GenerateOutput(face_coords=coords, token_ids=raw)

@@ -98,11 +98,11 @@ class InferencePipeline:
         self.batch_size = batch_size
         self.bucket = bucket
 
-        def _gen(params, pc, key, sampling):
-            return ma.generate(params, cfg, pc, sampling=sampling, key=key, bucket=bucket)
+        from meshanything_tpu.runtime.phases import PhaseRunner
 
-        self._gen_greedy = jax.jit(lambda p, pc, k: _gen(p, pc, k, False))
-        self._gen_sample = jax.jit(lambda p, pc, k: _gen(p, pc, k, True))
+        self._runner = PhaseRunner(params, cfg, bucket=bucket)
+        self._gen_greedy = lambda p, pc, k: self._runner(pc, sampling=False, key=k)
+        self._gen_sample = lambda p, pc, k: self._runner(pc, sampling=True, key=k)
         self.timings: List[dict] = []
 
     def run(
@@ -113,9 +113,28 @@ class InferencePipeline:
         sampling: bool = False,
         seed: int = 0,
         export: bool = True,
+        resume: bool = False,
+        max_retries: int = 1,
     ) -> List[dict]:
+        """Run generation over samples.
+
+        Failure handling (absent from the reference, SURVEY.md §5.3):
+        a device error on one batch is caught, retried ``max_retries``
+        times, then recorded as a failure record — folder inference
+        survives a flaky accelerator. ``resume=True`` skips samples
+        whose output OBJ already exists, making reruns incremental.
+        """
         os.makedirs(out_dir, exist_ok=True)
         samples = list(samples)
+        if resume:
+            remaining = []
+            for s in samples:
+                path = os.path.join(out_dir, f"{s.uid}_gen.obj")
+                if os.path.exists(path):
+                    self.timings.append({"uid": s.uid, "skipped": True, "obj_path": path})
+                else:
+                    remaining.append(s)
+            samples = remaining
         results = []
         bs = self.batch_size
         for start in range(0, len(samples), bs):
@@ -128,8 +147,22 @@ class InferencePipeline:
             key = jax.random.fold_in(jax.random.PRNGKey(seed), start)
             fn = self._gen_sample if sampling else self._gen_greedy
             t0 = time.time()
-            out = fn(self.params, jnp.asarray(pcs), key)
-            coords = np.asarray(out.face_coords.astype(jnp.float32))
+            coords = None
+            last_err = None
+            for attempt in range(max_retries + 1):
+                try:
+                    out = fn(self.params, jnp.asarray(pcs), key)
+                    coords = np.asarray(out.face_coords.astype(jnp.float32))
+                    break
+                except Exception as e:  # device fault / OOM — record & retry
+                    last_err = e
+            if coords is None:
+                for s in chunk:
+                    results.append({
+                        "uid": s.uid,
+                        "error": f"{type(last_err).__name__}: {last_err}",
+                    })
+                continue
             device_time = time.time() - t0
 
             for i, s in enumerate(chunk):

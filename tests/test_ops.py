@@ -1,0 +1,57 @@
+"""Kernel-level ops tests (CPU: Pallas interpret mode)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from meshanything_tpu.ops.decode_attention import (
+    decode_attention,
+    decode_attention_reference,
+)
+from meshanything_tpu.ops.kvcache import (
+    alloc_kv_cache,
+    dequantize_kv,
+    quantize_kv,
+)
+
+
+def test_decode_attention_interpret_matches_reference(rng):
+    B, H, D, S, L = 1, 4, 64, 256, 2
+    q = jnp.asarray(rng.normal(size=(B, H, D)).astype(np.float32))
+    kv = jnp.asarray(rng.normal(size=(2, L, B, S, H * D)).astype(np.float32) * 0.3)
+    for layer in (0, 1):
+        for cur in (3, 127, 128, 200):
+            out = decode_attention(q, kv, layer, cur, chunk=128, interpret=True)
+            ref = decode_attention_reference(q, kv, layer, cur)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4,
+                err_msg=f"layer={layer} cur={cur}",
+            )
+
+
+def test_decode_attention_interpret_ignores_garbage_tail(rng):
+    """Rows past cur_len must not affect the result."""
+    B, H, D, S, L = 1, 4, 64, 256, 1
+    q = jnp.asarray(rng.normal(size=(B, H, D)).astype(np.float32))
+    base = rng.normal(size=(2, L, B, S, H * D)).astype(np.float32)
+    poisoned = base.copy()
+    poisoned[:, :, :, 100:] = 1e4  # garbage beyond cur_len=100
+    a = decode_attention(jnp.asarray(q), jnp.asarray(base), 0, 100, chunk=128, interpret=True)
+    b = decode_attention(jnp.asarray(q), jnp.asarray(poisoned), 0, 100, chunk=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_kv_cache_alloc_padding():
+    kv = alloc_kv_cache(2, 1, 700, 4, 64, chunk=512)
+    assert kv.shape == (2, 2, 1, 1024, 256)
+
+
+def test_kv_int8_roundtrip_error(rng):
+    kv = jnp.asarray(rng.normal(size=(2, 2, 1, 64, 4, 64)).astype(np.float32))
+    q = quantize_kv(kv)
+    assert q.values.dtype == jnp.int8
+    back = dequantize_kv(q, jnp.float32)
+    err = np.abs(np.asarray(back) - np.asarray(kv)).max()
+    rel = err / np.abs(np.asarray(kv)).max()
+    assert rel < 0.01, rel  # int8 symmetric: <1% of per-row amax

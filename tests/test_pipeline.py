@@ -1,0 +1,84 @@
+"""End-to-end pipeline tests on the small config (CPU)."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from meshanything_tpu.config import small_test_config
+from meshanything_tpu.models import meshanything as ma
+from meshanything_tpu.runtime.pipeline import InferencePipeline, Sample, load_inputs
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return small_test_config(n_max_triangles=2)
+
+
+@pytest.fixture(scope="module")
+def pipe(cfg):
+    params = ma.init_meshanything_params(jax.random.PRNGKey(0), cfg)
+    return InferencePipeline(params, cfg, batch_size=2, bucket=16)
+
+
+def _samples(cfg, rng, n):
+    out = []
+    for i in range(n):
+        pc = rng.normal(size=(cfg.perceiver.num_points, 6)).astype(np.float32) * 0.3
+        pc[:, 3:] /= np.linalg.norm(pc[:, 3:], axis=-1, keepdims=True)
+        out.append(Sample(pc_normal=pc.astype(np.float16), uid=f"s{i}"))
+    return out
+
+
+def test_pipeline_batch_padding(pipe, cfg, tmp_path, rng):
+    # 3 samples with batch_size 2: ragged tail must not recompile/crash
+    results = pipe.run(_samples(cfg, rng, 3), str(tmp_path), seed=0)
+    assert len(results) == 3
+    for r in results:
+        assert "error" not in r
+        assert os.path.exists(r["obj_path"])
+
+
+def test_pipeline_resume_skips_existing(pipe, cfg, tmp_path, rng):
+    samples = _samples(cfg, rng, 2)
+    pipe.run(samples, str(tmp_path), seed=0)
+    before = len(pipe.timings)
+    pipe.run(samples, str(tmp_path), seed=0, resume=True)
+    skipped = [t for t in pipe.timings[before:] if t.get("skipped")]
+    assert len(skipped) == 2
+
+
+def test_pipeline_records_failures(cfg, tmp_path, rng):
+    params = ma.init_meshanything_params(jax.random.PRNGKey(0), cfg)
+    pipe = InferencePipeline(params, cfg, batch_size=1, bucket=16)
+
+    # sabotage the compiled fn to simulate a device fault
+    def boom(*a, **k):
+        raise RuntimeError("TPU worker crashed (simulated)")
+
+    pipe._gen_greedy = boom
+    results = pipe.run(_samples(cfg, rng, 2), str(tmp_path), seed=0, max_retries=1)
+    assert len(results) == 2
+    assert all("error" in r and "RuntimeError" in r["error"] for r in results)
+
+
+def test_load_inputs_pc_too_small(tmp_path):
+    p = tmp_path / "tiny.npy"
+    np.save(p, np.zeros((10, 6), np.float16))
+    with pytest.raises(ValueError, match="at least"):
+        load_inputs("pc_normal", [str(p)], num_points=64)
+
+
+def test_load_inputs_mesh(tmp_path, cfg):
+    from meshanything_tpu.geometry import Mesh, save_obj
+
+    v = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                  [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], float)
+    f = np.array([[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7], [0, 1, 5], [0, 5, 4],
+                  [2, 3, 7], [2, 7, 6], [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]])
+    path = tmp_path / "cube.obj"
+    save_obj(Mesh(v, f), str(path))
+    samples = load_inputs("mesh", [str(path)], num_points=cfg.perceiver.num_points)
+    assert samples[0].pc_normal.shape == (cfg.perceiver.num_points, 6)
+    assert samples[0].uid == "cube"

@@ -122,7 +122,7 @@ def test_opt_stack_parity_with_hf(hf_model, converted_params, rng):
 
     full = sopt.forward_full(converted_params, CFG, jnp.asarray(cond), jnp.zeros((b, 0), jnp.int32))
     np.testing.assert_allclose(np.asarray(full), ref_logits, atol=2e-5, rtol=1e-4)
-    assert kv.shape == (2, CFG.num_layers, b, c + 4, CFG.num_heads, CFG.head_dim)
+    assert kv.shape == (2, CFG.num_layers, b, c + 4, CFG.hidden_size)
 
 
 # ---------------------------------------------------------------------------
