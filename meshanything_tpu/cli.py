@@ -42,6 +42,11 @@ def get_args(argv=None):
     parser.add_argument("--metrics_out", default=None, type=str)
     parser.add_argument("--resume", default=False, action="store_true",
                         help="skip inputs whose output OBJ already exists")
+    parser.add_argument("--lookahead", default=0, type=int,
+                        help="Jacobi lookahead window (exact greedy multi-token decode)")
+    parser.add_argument("--attn", default="auto",
+                        choices=["auto", "pallas", "pallas_int8", "xla"],
+                        help="decode attention backend (pallas_int8 = fast int8 KV mode)")
     parser.add_argument("--help", action="help")
 
     return parser.parse_args(argv)
@@ -124,7 +129,8 @@ def main(argv=None):
     print(f"dataset total data samples: {len(samples)}")
 
     pipe = InferencePipeline(
-        params, cfg, batch_size=args.batchsize_per_gpu, bucket=args.bucket
+        params, cfg, batch_size=args.batchsize_per_gpu, bucket=args.bucket,
+        attn=args.attn, lookahead=args.lookahead,
     )
     begin = time.time()
     print("Generation Start!!!")

@@ -1,0 +1,225 @@
+"""Lookahead (Jacobi) greedy decoding — exact multi-token AR decode.
+
+Each iteration runs a W-token window [last_confirmed, g_1..g_{W-1}]
+through the decoder in ONE forward (one weight read, one KV sweep) and
+accepts the longest prefix where the guesses match the model's own
+greedy predictions. Guessed-right tokens are free: per-token weight and
+KV traffic drop by the acceptance factor, while the token stream is
+*provably identical* to step-by-step greedy decoding (verified in
+tests/test_lookahead.py).
+
+Guesses are the window's own trailing predictions (Jacobi iteration) —
+effective on structured token streams like the 9-token face grammar.
+Acceptance (and therefore speedup) is input- and model-dependent;
+worst case degrades to ~1 token/iteration with a W-query forward.
+
+Greedy only (sampling breaks the exactness argument). Per-row progress
+counters support batched decoding with rows advancing at different
+rates.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from meshanything_tpu.config import ShapeOPTConfig
+from meshanything_tpu.models.layers import layer_norm, linear
+from meshanything_tpu.models.shape_opt import (
+    embed_tokens,
+    face_phase_ids,
+    prefill,
+)
+
+
+class LookaheadState(NamedTuple):
+    steps: jax.Array        # (B,) generated-token count per row
+    tokens: jax.Array       # (B, gen_len + W) eos-prefilled buffer
+    kv: jax.Array           # (2, L, B, S, H*D)
+    done: jax.Array         # (B,)
+    window: jax.Array       # (B, W) w_0 = last confirmed, rest guesses
+
+
+def _window_step(params, cfg: ShapeOPTConfig, state: LookaheadState,
+                 window: int, kv_slice_len: int):
+    """One W-token forward + acceptance."""
+    b = state.steps.shape[0]
+    w = window
+    dtype = params["cond_embed"].dtype
+    h = cfg.num_heads
+    hd = cfg.head_dim
+    d_model = cfg.hidden_size
+
+    ids = state.window                                    # (B, W)
+    gen_idx = (state.steps - 1)[:, None] + jnp.arange(w)[None, :]  # (B, W)
+    x = embed_tokens(params, cfg, ids).astype(dtype)
+    fids = face_phase_ids(ids, gen_idx, cfg.face_per_token)
+    x = x + params["face_positions"][fids].astype(dtype)
+    x = x + params["cond_embed"][1].astype(dtype)
+    abs_pos = cfg.cond_length + gen_idx                   # (B, W)
+    x = x + params["embed_positions"][abs_pos + cfg.pos_offset].astype(dtype)
+
+    write_start = cfg.cond_length + state.steps - 1       # (B,)
+
+    def body(carry, p_and_idx):
+        x, kv = carry
+        p, layer_idx = p_and_idx
+        qkv = linear(x, p["qkv"]["w"], p["qkv"]["b"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)              # (B, W, d)
+
+        # scatter the window's K/V rows at per-row offsets
+        def put(cache_2l, rows):
+            # cache_2l: (B, S, HD) one (kv, layer) plane; rows: (B, W, HD)
+            def one(row_cache, row_vals, start):
+                return jax.lax.dynamic_update_slice(row_cache, row_vals, (start, 0))
+
+            return jax.vmap(one)(cache_2l, rows, write_start)
+
+        zero = jnp.zeros((), jnp.int32)
+        k_plane = jax.lax.dynamic_slice(
+            kv, (zero, layer_idx, zero, zero, zero), (1, 1, b, kv.shape[3], d_model)
+        )[0, 0]
+        v_plane = jax.lax.dynamic_slice(
+            kv, (jnp.ones((), jnp.int32), layer_idx, zero, zero, zero),
+            (1, 1, b, kv.shape[3], d_model),
+        )[0, 0]
+        k_plane = put(k_plane, k)
+        v_plane = put(v_plane, v)
+        kv = jax.lax.dynamic_update_slice(kv, k_plane[None, None], (zero, layer_idx, zero, zero, zero))
+        kv = jax.lax.dynamic_update_slice(kv, v_plane[None, None], (jnp.ones((), jnp.int32), layer_idx, zero, zero, zero))
+
+        # attention: W queries vs the first kv_slice_len cache slots,
+        # causal per absolute position
+        keys = jax.lax.dynamic_slice(
+            kv, (zero, layer_idx, zero, zero, zero), (1, 1, b, kv_slice_len, d_model)
+        )[0, 0].reshape(b, kv_slice_len, h, hd)
+        vals = jax.lax.dynamic_slice(
+            kv, (jnp.ones((), jnp.int32), layer_idx, zero, zero, zero),
+            (1, 1, b, kv_slice_len, d_model),
+        )[0, 0].reshape(b, kv_slice_len, h, hd)
+
+        qh = q.reshape(b, w, h, hd)
+        scale = 1.0 / (hd ** 0.5)
+        logits = jnp.einsum("bqhd,bshd->bhqs", qh * jnp.asarray(scale, qh.dtype), keys,
+                            preferred_element_type=jnp.float32)
+        span = jnp.arange(kv_slice_len)
+        mask = span[None, None, :] <= abs_pos[:, :, None]          # (B, W, S)
+        logits = jnp.where(mask[:, None], logits, jnp.float32(-1e30))
+        attn_w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(qh.dtype)
+        o = jnp.einsum("bhqs,bshd->bqhd", attn_w, vals, preferred_element_type=qh.dtype)
+
+        residual = x
+        x = residual + linear(o.reshape(b, w, d_model), p["out"]["w"], p["out"]["b"])
+        x = layer_norm(x, p["ln_attn"]["scale"], p["ln_attn"]["bias"], cfg.ln_eps)
+        residual = x
+        x2 = jax.nn.relu(linear(x, p["fc1"]["w"], p["fc1"]["b"]))
+        x = residual + linear(x2, p["fc2"]["w"], p["fc2"]["b"])
+        x = layer_norm(x, p["ln_ffn"]["scale"], p["ln_ffn"]["bias"], cfg.ln_eps)
+        return (x, kv), None
+
+    layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+    (x, kv), _ = jax.lax.scan(body, (x, state.kv), (params["layers"], layer_ids))
+
+    logits = linear(x, params["lm_head"]["w"]).astype(jnp.float32)  # (B, W, V)
+    preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)           # (B, W)
+
+    # acceptance: longest prefix where guesses match predictions
+    hits = state.window[:, 1:] == preds[:, :-1]                     # (B, W-1)
+    run = jnp.cumprod(hits.astype(jnp.int32), axis=-1)              # leading-run mask
+    accepted = 1 + run.sum(axis=-1)                                 # (B,) in [1, W]
+
+    # cut acceptance at the first emitted eos (inclusive)
+    is_eos = preds == cfg.eos_token_id
+    eos_cum = jnp.cumsum(is_eos.astype(jnp.int32), axis=-1)
+    first_eos = jnp.argmax(is_eos, axis=-1)
+    has_eos = is_eos.any(axis=-1)
+    accepted = jnp.where(has_eos, jnp.minimum(accepted, first_eos + 1), accepted)
+    # rows already done emit nothing new
+    accepted = jnp.where(state.done, 0, accepted)
+
+    # write the window's predictions; entries beyond `accepted` are
+    # either re-written next iteration or remain the eos prefill
+    idx_in_w = jnp.arange(w)[None, :]
+    fill = jnp.where(idx_in_w < accepted[:, None], preds, cfg.eos_token_id)
+
+    def write_row(row_tokens, vals, start):
+        return jax.lax.dynamic_update_slice(row_tokens, vals, (start,))
+
+    tokens = jax.vmap(write_row)(state.tokens, fill, state.steps)
+
+    new_steps = state.steps + accepted
+    new_done = state.done | (has_eos & (first_eos < accepted))
+
+    # next window: w_0 = last accepted token; guesses = remaining preds
+    last_idx = jnp.maximum(accepted - 1, 0)
+    last_tok = jnp.take_along_axis(preds, last_idx[:, None], axis=1)[:, 0]
+    last_tok = jnp.where(state.done, state.window[:, 0], last_tok)
+    # shift predictions left by `accepted` as the new guesses
+    def shift_row(p_row, a):
+        rolled = jnp.roll(p_row, -a)
+        return rolled
+
+    guesses = jax.vmap(shift_row)(preds, accepted)                  # (B, W)
+    new_window = jnp.concatenate([last_tok[:, None], guesses[:, : w - 1]], axis=1)
+    new_steps = jnp.where(state.done, state.steps, new_steps)
+
+    return LookaheadState(new_steps, tokens, kv, new_done, new_window)
+
+
+def generate_lookahead(
+    params: dict,
+    cfg: ShapeOPTConfig,
+    cond_embeds: jax.Array,
+    *,
+    max_new_tokens: int,
+    window: int = 8,
+    bucket: int = 512,
+    key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Greedy generation with lookahead; token-identical to
+    ``generate(..., sampling=False)``. Returns (B, max_new_tokens)."""
+    b, c, _ = cond_embeds.shape
+    w = window
+    s_max = -(-(c + max_new_tokens + w) // bucket) * bucket
+
+    logits0, kv = prefill(params, cfg, cond_embeds, s_max)
+    first = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+
+    tokens = jnp.full((b, max_new_tokens + w), cfg.eos_token_id, jnp.int32)
+    tokens = tokens.at[:, 0].set(first)
+    state = LookaheadState(
+        steps=jnp.ones((b,), jnp.int32),
+        tokens=tokens,
+        kv=kv,
+        done=first == cfg.eos_token_id,
+        window=jnp.concatenate(
+            [first[:, None], jnp.zeros((b, w - 1), jnp.int32)], axis=1
+        ),
+    )
+
+    # bucket schedule on the *max* live position across rows
+    starts = list(range(0, s_max, bucket))
+    for bstart in starts:
+        bend = min(bstart + bucket, s_max)
+        if bend <= c:
+            continue
+
+        def cond_fn(st, _bend=bend):
+            live = (st.steps < max_new_tokens) & ~st.done
+            max_pos = jnp.max(jnp.where(live, cfg.cond_length + st.steps - 1 + w, 0))
+            return jnp.any(live) & (max_pos < _bend)
+
+        def body_fn(st, _bend=bend):
+            return _window_step(params, cfg, st, w, _bend)
+
+        state = jax.lax.while_loop(cond_fn, body_fn, state)
+
+    # final partial windows near s_max: finish with the last bucket bound
+    def cond_fn(st):
+        live = (st.steps < max_new_tokens) & ~st.done
+        return jnp.any(live)
+
+    state = jax.lax.while_loop(cond_fn, lambda st: _window_step(params, cfg, st, w, s_max), state)
+
+    return state.tokens[:, :max_new_tokens]

@@ -87,10 +87,14 @@ def generate(
     sampling: bool = False,
     key: Optional[jax.Array] = None,
     bucket: int = 512,
+    lookahead: int = 0,
+    attn: str = "auto",
 ) -> GenerateOutput:
     """Full inference pass (meshanything.py:134-176).
 
     pc_normal: (B, N, 6) normalized points+normals.
+    lookahead > 0 enables Jacobi multi-token greedy decoding with that
+    window size (exact; ignored when sampling).
     """
     dtype = cfg.activation_dtype
     pc_normal = pc_normal.astype(dtype)
@@ -98,11 +102,20 @@ def generate(
     point_feature = per_mod.encode_latents(params["perceiver"], cfg.perceiver, pc_normal)
     cond = process_point_feature(params, cfg, point_feature)
 
-    raw = opt_mod.generate(
-        params["opt"], cfg.opt, cond,
-        max_new_tokens=cfg.generate_length,
-        key=key, sampling=sampling, bucket=bucket,
-    )
+    if lookahead > 0 and not sampling:
+        from meshanything_tpu.models.lookahead import generate_lookahead
+
+        raw = generate_lookahead(
+            params["opt"], cfg.opt, cond,
+            max_new_tokens=cfg.generate_length,
+            window=lookahead, bucket=bucket,
+        )
+    else:
+        raw = opt_mod.generate(
+            params["opt"], cfg.opt, cond,
+            max_new_tokens=cfg.generate_length,
+            key=key, sampling=sampling, bucket=bucket, attn=attn,
+        )
 
     ids = token_postprocess(cfg, raw)
     code_embeds = get_codes(params, cfg, ids)

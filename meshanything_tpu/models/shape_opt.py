@@ -243,10 +243,38 @@ def _opt_layer_decode(cfg: ShapeOPTConfig, kv_slice_len: int, attn: str = "xla",
         v_row = v.reshape(b, 1, d_model)[None, None]
 
         zero = jnp.zeros((), jnp.int32)
-        kv = jax.lax.dynamic_update_slice(kv, k_row, (zero, layer_idx, zero, write_pos, zero))
-        kv = jax.lax.dynamic_update_slice(kv, v_row, (jnp.ones((), jnp.int32), layer_idx, zero, write_pos, zero))
+        one = jnp.ones((), jnp.int32)
+        if attn == "pallas_int8":
+            values, scales = kv
 
-        if attn == "pallas":
+            def qrow(row):
+                amax = jnp.max(jnp.abs(row.astype(jnp.float32)), axis=-1, keepdims=True)
+                s = jnp.maximum(amax, 1e-8) / 127.0
+                qv = jnp.clip(jnp.round(row.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+                return qv, s
+
+            kq, ks_ = qrow(k_row)
+            vq, vs_ = qrow(v_row)
+            values = jax.lax.dynamic_update_slice(values, kq, (zero, layer_idx, zero, write_pos, zero))
+            values = jax.lax.dynamic_update_slice(values, vq, (one, layer_idx, zero, write_pos, zero))
+            # scales: (2, L, B, 1, S) — scalar per row
+            ks_s = ks_.reshape(1, 1, b, 1, 1)
+            vs_s = vs_.reshape(1, 1, b, 1, 1)
+            scales = jax.lax.dynamic_update_slice(scales, ks_s, (zero, layer_idx, zero, zero, write_pos))
+            scales = jax.lax.dynamic_update_slice(scales, vs_s, (one, layer_idx, zero, zero, write_pos))
+            kv = (values, scales)
+        else:
+            kv = jax.lax.dynamic_update_slice(kv, k_row, (zero, layer_idx, zero, write_pos, zero))
+            kv = jax.lax.dynamic_update_slice(kv, v_row, (one, layer_idx, zero, write_pos, zero))
+
+        if attn == "pallas_int8":
+            from meshanything_tpu.ops.decode_attention import decode_attention_int8_impl
+
+            o = decode_attention_int8_impl(
+                q[:, 0], kv[0], kv[1], layer_idx, write_pos + 1,
+                chunk=chunk, interpret=interpret,
+            )[:, None]
+        elif attn == "pallas":
             from meshanything_tpu.ops.decode_attention import decode_attention_impl
 
             o = decode_attention_impl(
@@ -360,15 +388,18 @@ def generate(
 
     attn="pallas" (default on TPU): ONE lax.while_loop; each step's
     attention is the flash-decoding kernel, streaming exactly the live
-    context from HBM. attn="xla" (default off-TPU): one while_loop per
-    static KV *bucket* — inside a bucket, attention reads the slice
-    ``cache[:, :bucket_end]``, so early steps never touch the far end
-    of the 7.5k-slot cache. Both exit early once all rows are done and
-    produce identical token streams (tests/test_shape_opt.py).
+    context from HBM. attn="pallas_int8": same, with the cache stored
+    int8 + per-row scales — halves the dominant HBM traffic for <1%
+    attention error (fast mode; token streams may diverge from exact
+    bf16 where logit gaps are sub-quantization). attn="xla" (default
+    off-TPU): one while_loop per static KV *bucket* — inside a bucket,
+    attention reads the slice ``cache[:, :bucket_end]``, so early steps
+    never touch the far end of the 7.5k-slot cache. All paths exit
+    early once every row is done (tests/test_shape_opt.py).
     """
     if attn == "auto":
         attn = "pallas" if jax.default_backend() == "tpu" else "xla"
-    interpret = attn == "pallas" and jax.default_backend() != "tpu"
+    interpret = attn.startswith("pallas") and jax.default_backend() != "tpu"
     b, c, _ = cond_embeds.shape
     # pad the cache to a chunk multiple: the flash-decode kernel DMAs
     # whole chunks, so the last chunk must not run past the buffer
@@ -377,6 +408,12 @@ def generate(
         key = jax.random.PRNGKey(0)
 
     logits0, kv = prefill(params, cfg, cond_embeds, s_max)
+    if attn == "pallas_int8":
+        amax = jnp.max(jnp.abs(kv.astype(jnp.float32)), axis=-1, keepdims=True)
+        row_scale = jnp.maximum(amax, 1e-8) / 127.0     # (2, L, B, S, 1)
+        values = jnp.clip(jnp.round(kv.astype(jnp.float32) / row_scale), -127, 127).astype(jnp.int8)
+        scales = jnp.transpose(row_scale, (0, 1, 2, 4, 3))  # (2, L, B, 1, S)
+        kv = (values, scales)
     key, subkey = jax.random.split(key)
     first = sample_token(
         subkey, logits0, sampling=sampling, top_k=top_k, top_p=top_p, temperature=temperature
@@ -395,7 +432,7 @@ def generate(
 
     step_kw = dict(sampling=sampling, top_k=top_k, top_p=top_p, temperature=temperature)
 
-    if attn == "pallas":
+    if attn.startswith("pallas"):
         def cond_fn(st):
             live = st.step < max_new_tokens
             if early_exit:
@@ -403,7 +440,7 @@ def generate(
             return live
 
         def body_fn(st):
-            return _decode_step(params, cfg, st, s_max, attn="pallas",
+            return _decode_step(params, cfg, st, s_max, attn=attn,
                                 chunk=bucket, interpret=interpret, **step_kw)
 
         state = jax.lax.while_loop(cond_fn, body_fn, state)

@@ -196,6 +196,152 @@ def decode_attention(q, kv_cache, layer, cur_len, *, chunk: int = 512,
                                  interpret=interpret)
 
 
+# ---------------------------------------------------------------------------
+# int8-quantized cache variant
+
+
+def _kernel_int8(
+    # scalar prefetch
+    cur_len_ref,        # SMEM (1,) int32
+    layer_ref,          # SMEM (1,) int32
+    # inputs
+    qmat_ref,           # VMEM (1, H, H*D)
+    kv_hbm,             # HBM  (2, L, B, S, H*D) int8
+    scale_hbm,          # HBM  (2, L, B, 1, S) f32 per-row scales
+    # output
+    o_ref,              # VMEM (1, H, H*D)
+    # scratch
+    k_buf, v_buf,       # VMEM (2, CHUNK, H*D) int8
+    ks_buf, vs_buf,     # VMEM (2, 1, CHUNK) f32
+    sem,                # DMA  (2, 4)
+    *,
+    chunk: int,
+    scale: float,
+):
+    b = pl.program_id(0)
+    layer = layer_ref[0]
+    cur_len = cur_len_ref[0]
+    num_chunks = pl.cdiv(cur_len, chunk)
+
+    def get_dma(slot, idx):
+        span = pl.ds(idx * chunk, chunk)
+        return (
+            pltpu.make_async_copy(kv_hbm.at[0, layer, b, span], k_buf.at[slot], sem.at[slot, 0]),
+            pltpu.make_async_copy(kv_hbm.at[1, layer, b, span], v_buf.at[slot], sem.at[slot, 1]),
+            pltpu.make_async_copy(scale_hbm.at[0, layer, b, :, span], ks_buf.at[slot], sem.at[slot, 2]),
+            pltpu.make_async_copy(scale_hbm.at[1, layer, b, :, span], vs_buf.at[slot], sem.at[slot, 3]),
+        )
+
+    for dma in get_dma(0, 0):
+        dma.start()
+
+    qmat = qmat_ref[0].astype(jnp.float32) * scale
+    h, hd = qmat.shape
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        slot = i % 2
+
+        @pl.when(i + 1 < num_chunks)
+        def _():
+            for dma in get_dma((i + 1) % 2, i + 1):
+                dma.start()
+
+        for dma in get_dma(slot, i):
+            dma.wait()
+
+        k = k_buf[slot].astype(jnp.float32)                       # (CHUNK, HD)
+        v = v_buf[slot].astype(jnp.float32)
+        k_scale = ks_buf[slot]                                    # (1, CHUNK)
+        v_scale = vs_buf[slot]
+
+        # fold the per-row K scale into the logits and the per-row V
+        # scale into the probabilities — no transposes needed
+        logits = jax.lax.dot_general(
+            qmat, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * k_scale                                               # (H, CHUNK)
+        span = i * chunk + jax.lax.broadcasted_iota(jnp.int32, (h, chunk), 1)
+        logits = jnp.where(span < cur_len, logits, NEG_INF)
+
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev[:, :1], m_cur)
+        p = jnp.exp(logits - m_new)
+        corr = jnp.exp(m_prev[:, :1] - m_new)
+        l_new = corr * l_prev[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jnp.dot(p * v_scale, v, preferred_element_type=jnp.float32)
+        acc_new = acc * corr + pv
+        return (
+            acc_new,
+            jnp.broadcast_to(m_new, (h, 128)),
+            jnp.broadcast_to(l_new, (h, 128)),
+        )
+
+    init = (
+        jnp.zeros((h, hd), jnp.float32),
+        jnp.full((h, 128), NEG_INF, jnp.float32),
+        jnp.zeros((h, 128), jnp.float32),
+    )
+    acc, _m, l_fin = jax.lax.fori_loop(0, num_chunks, body, init)
+    out = acc / jnp.maximum(l_fin[:, :1], 1e-30)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def decode_attention_int8_impl(
+    q: jax.Array,          # (B, H, D)
+    kv_values: jax.Array,  # (2, L, B, S, H*D) int8
+    kv_scales: jax.Array,  # (2, L, B, 1, S) f32
+    layer: jax.Array,
+    cur_len: jax.Array,
+    *,
+    chunk: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """int8-cache flash-decoding: halves the dominant HBM traffic of the
+    full-length decode (PERF.md bottleneck model) for <1% attention
+    error (per-row symmetric scales)."""
+    b, h, d = q.shape
+    hd = h * d
+    scale = 1.0 / math.sqrt(d)
+
+    eye = jnp.eye(h, dtype=q.dtype)
+    qmat = jnp.einsum("ij,bjd->bijd", eye, q).reshape(b, h, hd)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, hd), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((1, h, hd), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, hd), jnp.int8),
+            pltpu.VMEM((2, chunk, hd), jnp.int8),
+            pltpu.VMEM((2, 1, chunk), jnp.float32),
+            pltpu.VMEM((2, 1, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+
+    kernel = functools.partial(_kernel_int8, chunk=chunk, scale=scale)
+    out_full = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, hd), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        jnp.asarray(cur_len, jnp.int32).reshape(1),
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        qmat,
+        kv_values,
+        kv_scales,
+    )
+    out4 = out_full.reshape(b, h, h, d)
+    return out4[:, jnp.arange(h), jnp.arange(h), :]
+
+
 def decode_attention_reference(q, kv_cache, layer, cur_len):
     """XLA reference for testing: same math, full-cache read.
 

@@ -26,7 +26,7 @@ class PhaseRunner:
     """Three compiled programs sharing the params tree."""
 
     def __init__(self, params, cfg: MeshAnythingConfig, *, bucket: int = 512,
-                 attn: str = "auto", early_exit: bool = True):
+                 attn: str = "auto", early_exit: bool = True, lookahead: int = 0):
         self.params = params
         self.cfg = cfg
         dtype = cfg.activation_dtype
@@ -40,6 +40,14 @@ class PhaseRunner:
 
         @functools.partial(jax.jit, static_argnames=("sampling",))
         def decode(params, cond, key, sampling):
+            if lookahead > 0 and not sampling:
+                from meshanything_tpu.models.lookahead import generate_lookahead
+
+                return generate_lookahead(
+                    params["opt"], cfg.opt, cond,
+                    max_new_tokens=cfg.generate_length,
+                    window=lookahead, bucket=bucket,
+                )
             return opt_mod.generate(
                 params["opt"], cfg.opt, cond,
                 max_new_tokens=cfg.generate_length,

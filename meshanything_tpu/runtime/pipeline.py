@@ -91,7 +91,8 @@ class InferencePipeline:
         *,
         batch_size: int = 1,
         bucket: int = 512,
-        donate_cache: bool = True,
+        attn: str = "auto",
+        lookahead: int = 0,
     ):
         self.cfg = cfg
         self.params = params
@@ -100,7 +101,8 @@ class InferencePipeline:
 
         from meshanything_tpu.runtime.phases import PhaseRunner
 
-        self._runner = PhaseRunner(params, cfg, bucket=bucket)
+        self._runner = PhaseRunner(params, cfg, bucket=bucket, attn=attn,
+                                   lookahead=lookahead)
         self._gen_greedy = lambda p, pc, k: self._runner(pc, sampling=False, key=k)
         self._gen_sample = lambda p, pc, k: self._runner(pc, sampling=True, key=k)
         self.timings: List[dict] = []

@@ -1,0 +1,47 @@
+"""Lookahead (Jacobi) decoding: exactness vs plain greedy."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from meshanything_tpu.config import ShapeOPTConfig
+from meshanything_tpu.models import shape_opt as sopt
+from meshanything_tpu.models.lookahead import generate_lookahead
+
+CFG = ShapeOPTConfig(
+    hidden_size=32, num_layers=2, num_heads=4, ffn_dim=64,
+    vocab_size=67, codebook_size=64, codebook_dim=32,
+    max_positions=512, cond_length=9, cond_dim=48,
+)
+
+
+@pytest.mark.parametrize("window", [2, 4, 8])
+def test_lookahead_matches_plain_greedy(rng, window):
+    params = sopt.init_shape_opt_params(jax.random.PRNGKey(3), CFG)
+    b = 2
+    cond = jnp.asarray(rng.normal(size=(b, CFG.cond_length, CFG.hidden_size)).astype(np.float32) * 0.5)
+
+    plain = np.asarray(sopt.generate(params, CFG, cond, max_new_tokens=24, bucket=16, attn="xla"))
+    look = np.asarray(generate_lookahead(params, CFG, cond, max_new_tokens=24, window=window, bucket=16))
+
+    for row in range(b):
+        eos = np.where(plain[row] == CFG.eos_token_id)[0]
+        limit = (eos[0] + 1) if len(eos) else plain.shape[1]
+        np.testing.assert_array_equal(
+            look[row, :limit], plain[row, :limit],
+            err_msg=f"window={window} row={row}",
+        )
+
+
+def test_lookahead_batch_rows_divergent_lengths(rng):
+    """Rows hitting eos at different steps must not corrupt each other."""
+    params = sopt.init_shape_opt_params(jax.random.PRNGKey(9), CFG)
+    b = 4
+    cond = jnp.asarray(rng.normal(size=(b, CFG.cond_length, CFG.hidden_size)).astype(np.float32))
+    plain = np.asarray(sopt.generate(params, CFG, cond, max_new_tokens=20, bucket=16, attn="xla"))
+    look = np.asarray(generate_lookahead(params, CFG, cond, max_new_tokens=20, window=4, bucket=16))
+    for row in range(b):
+        eos = np.where(plain[row] == CFG.eos_token_id)[0]
+        limit = (eos[0] + 1) if len(eos) else plain.shape[1]
+        np.testing.assert_array_equal(look[row, :limit], plain[row, :limit], err_msg=f"row={row}")
