@@ -407,13 +407,21 @@ def generate(
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    logits0, kv = prefill(params, cfg, cond_embeds, s_max)
     if attn == "pallas_int8":
-        amax = jnp.max(jnp.abs(kv.astype(jnp.float32)), axis=-1, keepdims=True)
-        row_scale = jnp.maximum(amax, 1e-8) / 127.0     # (2, L, B, S, 1)
-        values = jnp.clip(jnp.round(kv.astype(jnp.float32) / row_scale), -127, 127).astype(jnp.int8)
-        scales = jnp.transpose(row_scale, (0, 1, 2, 4, 3))  # (2, L, B, 1, S)
+        # quantize the compact condition-length cache, THEN pad to
+        # s_max — padding the bf16 cache first would materialize the
+        # full-length bf16 buffer (12 GB at B=16) before quantization
+        logits0, kv_c = prefill(params, cfg, cond_embeds, c)
+        amax = jnp.max(jnp.abs(kv_c.astype(jnp.float32)), axis=-1, keepdims=True)
+        row_scale = jnp.maximum(amax, 1e-8) / 127.0     # (2, L, B, C, 1)
+        values = jnp.clip(jnp.round(kv_c.astype(jnp.float32) / row_scale), -127, 127).astype(jnp.int8)
+        scales = jnp.transpose(row_scale, (0, 1, 2, 4, 3))  # (2, L, B, 1, C)
+        values = jnp.pad(values, ((0, 0), (0, 0), (0, 0), (0, s_max - c), (0, 0)))
+        scales = jnp.pad(scales, ((0, 0), (0, 0), (0, 0), (0, 0), (0, s_max - c)),
+                         constant_values=1.0)
         kv = (values, scales)
+    else:
+        logits0, kv = prefill(params, cfg, cond_embeds, s_max)
     key, subkey = jax.random.split(key)
     first = sample_token(
         subkey, logits0, sampling=sampling, top_k=top_k, top_p=top_p, temperature=temperature
