@@ -34,7 +34,6 @@ dynamic_update_slice — the fixed-shape long-context recipe
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax

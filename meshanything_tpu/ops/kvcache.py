@@ -7,9 +7,10 @@ padded so S is a multiple of the decode chunk.
 
 int8 mode: the full-length decode is KV-bandwidth-bound (~2.7 TB of
 cache reads per 800-face mesh, SURVEY.md §6); storing K/V as int8 with
-per-(layer, position, head) scales halves the dominant traffic at the
+one symmetric scale per row (per kv/layer/batch/position, shared
+across heads) halves the dominant traffic at the
 cost of <1e-2 attention error. Exact bf16 mode stays the default; the
-quality bound is asserted in tests/test_kvcache.py.
+quality bound is asserted in tests/test_ops.py.
 """
 from __future__ import annotations
 
@@ -28,12 +29,12 @@ def alloc_kv_cache(
 
 
 class QuantizedKV(NamedTuple):
-    values: jax.Array   # (2, L, B, S, H, D) int8
-    scales: jax.Array   # (2, L, B, S, H, 1) f32  (amax / 127 per row)
+    values: jax.Array   # (2, L, B, S, H*D) int8
+    scales: jax.Array   # (2, L, B, S, 1) f32  (amax / 127 per row)
 
 
 def quantize_kv(kv: jax.Array) -> QuantizedKV:
-    """Symmetric per-(kv, layer, batch, pos, head) int8 quantization."""
+    """Symmetric int8 quantization, one scale per flat (H*D) row."""
     amax = jnp.max(jnp.abs(kv.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(kv.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)

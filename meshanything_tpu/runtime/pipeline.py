@@ -14,7 +14,7 @@ import dataclasses
 import json
 import os
 import time
-from typing import Iterable, List, Optional, Sequence
+from typing import Iterable, List, Sequence
 
 import numpy as np
 

@@ -13,14 +13,11 @@ which differs from the CLI's pc-bbox variant (main.py:51-53).
 """
 from __future__ import annotations
 
-import io
 import json
 import os
 import tempfile
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
-
 import numpy as np
 
 
@@ -151,7 +148,6 @@ def _make_handler(engine: ServingEngine):
                     mesh.vertices, mesh.faces,
                     seed=seed, do_sampling=sampling, do_marching_cubes=mc,
                 )
-                buf = io.StringIO()
                 with tempfile.NamedTemporaryFile(mode="r", suffix=".obj", delete=False) as out_fh:
                     out_path = out_fh.name
                 save_obj(result["mesh"], out_path)
