@@ -24,20 +24,20 @@ import numpy as np
 class ServingEngine:
     """Load-once model + per-request generation (app.py:16-25,95-174)."""
 
-    def __init__(self, params, cfg, *, bucket: int = 512):
+    def __init__(self, params, cfg, *, bucket: int = 512, attn: str = "auto",
+                 lookahead: int = 0):
         import jax
 
-        from meshanything_tpu.models import meshanything as ma
+        from meshanything_tpu.runtime.phases import PhaseRunner
 
         self.cfg = cfg
         self.params = params
         self._jax = jax
 
-        def _gen(params, pc, key, sampling):
-            return ma.generate(params, cfg, pc, sampling=sampling, key=key, bucket=bucket)
-
-        self._greedy = jax.jit(lambda p, pc, k: _gen(p, pc, k, False))
-        self._sample = jax.jit(lambda p, pc, k: _gen(p, pc, k, True))
+        runner = PhaseRunner(params, cfg, bucket=bucket, attn=attn,
+                             lookahead=lookahead)
+        self._greedy = lambda p, pc, k: runner(pc, sampling=False, key=k)
+        self._sample = lambda p, pc, k: runner(pc, sampling=True, key=k)
 
     def generate_from_mesh(
         self,
@@ -218,7 +218,8 @@ def main(argv=None):
     args = get_args(argv)
     cfg = build_config(args)
     params = load_params(args, cfg)
-    engine = ServingEngine(params, cfg, bucket=args.bucket)
+    engine = ServingEngine(params, cfg, bucket=args.bucket, attn=args.attn,
+                           lookahead=args.lookahead)
     try:
         import gradio  # noqa: F401
 
