@@ -22,6 +22,35 @@ from meshanything_tpu.models import perceiver as per_mod
 from meshanything_tpu.models import shape_opt as opt_mod
 
 
+def estimate_kv_bytes(cfg: MeshAnythingConfig, batch: int, bucket: int = 512,
+                      int8: bool = False) -> int:
+    """Upper-bound KV-cache footprint for a generation batch."""
+    c = cfg.cond_length
+    s_max = -(-(c + cfg.generate_length) // bucket) * bucket
+    per_elem = 1 if int8 else 2
+    o = cfg.opt
+    return 2 * o.num_layers * batch * s_max * o.hidden_size * per_elem
+
+
+def check_memory_budget(cfg: MeshAnythingConfig, batch: int, bucket: int = 512,
+                        attn: str = "auto", limit_bytes: int = 14 * 1024**3) -> None:
+    """Refuse configurations that would OOM-crash the TPU worker (an HBM
+    overrun on this platform kills the worker for ~10 min rather than
+    raising — see PERF.md B=32)."""
+    int8 = attn == "pallas_int8"
+    kv = estimate_kv_bytes(cfg, batch, bucket, int8)
+    weights = 350e6 * 2  # bf16 param slab
+    est = kv + int(weights) + (kv // 4)  # workspace headroom
+    if est > limit_bytes:
+        raise ValueError(
+            f"estimated device footprint {est / 1e9:.1f} GB exceeds the "
+            f"{limit_bytes / 1e9:.0f} GB budget for batch={batch} "
+            f"(kv cache {kv / 1e9:.1f} GB). Reduce --batchsize_per_gpu, "
+            "use --attn pallas_int8 (halves the cache), or shard the "
+            "batch over more chips (parallel/mesh.py)."
+        )
+
+
 class PhaseRunner:
     """Three compiled programs sharing the params tree."""
 
@@ -29,6 +58,8 @@ class PhaseRunner:
                  attn: str = "auto", early_exit: bool = True, lookahead: int = 0):
         self.params = params
         self.cfg = cfg
+        self.attn = attn
+        self.bucket = bucket
         dtype = cfg.activation_dtype
 
         @jax.jit
@@ -69,6 +100,8 @@ class PhaseRunner:
 
     def __call__(self, pc_normal: jax.Array, *, sampling: bool = False,
                  key: Optional[jax.Array] = None, timer=None):
+        if jax.default_backend() == "tpu":
+            check_memory_budget(self.cfg, pc_normal.shape[0], self.bucket, self.attn)
         if key is None:
             key = jax.random.PRNGKey(0)
 
