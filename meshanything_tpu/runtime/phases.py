@@ -33,10 +33,12 @@ def estimate_kv_bytes(cfg: MeshAnythingConfig, batch: int, bucket: int = 512,
 
 
 def check_memory_budget(cfg: MeshAnythingConfig, batch: int, bucket: int = 512,
-                        attn: str = "auto", limit_bytes: int = 14 * 1024**3) -> None:
+                        attn: str = "auto", limit_bytes: int = 11 * 1024**3) -> None:
     """Refuse configurations that would OOM-crash the TPU worker (an HBM
     overrun on this platform kills the worker for ~10 min rather than
-    raising — see PERF.md B=32)."""
+    raising). Empirical v5e envelope: int8 B=16 / bf16 B=8 run; int8
+    B=24 and B=32 both crash (PERF.md), so the default limit sits just
+    above the largest measured-good footprint."""
     int8 = attn == "pallas_int8"
     kv = estimate_kv_bytes(cfg, batch, bucket, int8)
     weights = 350e6 * 2  # bf16 param slab
