@@ -1,0 +1,107 @@
+"""Training scaffold tests: losses, data pipeline, end-to-end VAE step."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from meshanything_tpu.config import small_test_config
+from meshanything_tpu.geometry.obj_io import Mesh
+from meshanything_tpu.training.data import (
+    axis_scale_augment,
+    ray_parity_inside,
+    sample_training_points,
+)
+from meshanything_tpu.training.losses import (
+    shifted_token_ce,
+    token_accuracy,
+    vae_occupancy_loss,
+)
+
+
+def _cube(side=1.0):
+    h = side / 2
+    v = np.array([[-h, -h, -h], [h, -h, -h], [h, h, -h], [-h, h, -h],
+                  [-h, -h, h], [h, -h, h], [h, h, h], [-h, h, h]])
+    f = np.array([[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7], [0, 1, 5], [0, 5, 4],
+                  [2, 3, 7], [2, 7, 6], [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]])
+    return Mesh(v, f)
+
+
+def test_ray_parity_inside_cube():
+    mesh = _cube(1.0)
+    pts = np.array([
+        [0, 0, 0],          # center -> inside
+        [0.49, 0.49, 0.49], # corner-ish inside
+        [0.9, 0, 0],        # outside
+        [0, 0.51, 0],       # just outside
+        [-0.3, 0.1, 0.2],   # inside
+    ])
+    got = ray_parity_inside(pts, mesh.vertices, mesh.faces)
+    np.testing.assert_array_equal(got, [True, True, False, False, True])
+
+
+def test_sample_training_points(rng):
+    mesh = _cube(1.0)
+    batch = sample_training_points(mesh, n_surface=256, n_vol=512, n_near=256, rng=rng)
+    assert batch.surface.shape == (256, 6)
+    assert batch.queries.shape == (768, 3)
+    assert batch.occupancy.shape == (768,)
+    # analytic check: a point is inside iff max |coord| < 0.5
+    expect = (np.abs(batch.queries).max(axis=1) < 0.5).astype(np.float32)
+    # near-surface points can straddle the boundary within float noise;
+    # demand 99%+ agreement
+    agree = (expect == batch.occupancy).mean()
+    assert agree > 0.99, agree
+
+
+def test_axis_scale_augment(rng):
+    mesh = _cube(1.0)
+    batch = sample_training_points(mesh, n_surface=128, n_vol=128, n_near=64, rng=rng)
+    surf2, q2 = axis_scale_augment(batch.surface, batch.queries, rng=rng)
+    assert surf2.shape == batch.surface.shape
+    assert q2.shape == batch.queries.shape
+    # normals stay unit
+    np.testing.assert_allclose(np.linalg.norm(surf2[:, 3:], axis=-1), 1.0, atol=1e-5)
+    # overall extent preserved
+    orig = np.abs(np.concatenate([batch.surface[:, :3], batch.queries])).max()
+    new = np.abs(np.concatenate([surf2[:, :3], q2])).max()
+    np.testing.assert_allclose(new, orig, rtol=1e-5)
+
+
+def test_vae_occupancy_loss_end_to_end(rng):
+    """Perceiver encode -> decode -> occupancy logits -> loss + grads."""
+    from meshanything_tpu.models import perceiver as per_mod
+
+    cfg = small_test_config().perceiver
+    params = per_mod.init_perceiver_params(jax.random.PRNGKey(0), cfg)
+    mesh = _cube(1.0)
+    batch = sample_training_points(
+        mesh, n_surface=cfg.num_points, n_vol=64, n_near=32, rng=rng
+    )
+
+    def loss_fn(p):
+        latents = per_mod.encode_latents(p, cfg, jnp.asarray(batch.surface)[None])
+        from meshanything_tpu.models.layers import linear
+
+        moments = linear(latents[:, 1:], p["pre_kl"]["w"], p["pre_kl"]["b"])
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        decoded = per_mod.decode_latents(p, cfg, mean)
+        logits = per_mod.query_geometry(p, cfg, jnp.asarray(batch.queries)[None], decoded)
+        out = vae_occupancy_loss(logits[0], jnp.asarray(batch.occupancy), mean, logvar)
+        return out["loss"]
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads))
+    assert gnorm > 0
+
+
+def test_shifted_ce_ignore_index():
+    logits = jnp.zeros((1, 4, 5))
+    labels = jnp.asarray([[-100, 2, -100, 3]])
+    loss = shifted_token_ce(logits, labels)
+    # uniform logits -> ln(5) on the 2 valid shifted positions
+    np.testing.assert_allclose(float(loss), np.log(5), rtol=1e-5)
+    acc = token_accuracy(logits, labels)
+    assert 0.0 <= float(acc) <= 1.0
