@@ -4,9 +4,17 @@ Each iteration runs a W-token window [last_confirmed, g_1..g_{W-1}]
 through the decoder in ONE forward (one weight read, one KV sweep) and
 accepts the longest prefix where the guesses match the model's own
 greedy predictions. Guessed-right tokens are free: per-token weight and
-KV traffic drop by the acceptance factor, while the token stream is
-*provably identical* to step-by-step greedy decoding (verified in
-tests/test_lookahead.py).
+KV traffic drop by the acceptance factor.
+
+Exactness: in exact arithmetic the token stream is identical to
+step-by-step greedy decoding (proven in f32 in
+tests/test_lookahead.py). In bf16 the W-token window forward and the
+single-token forward differ in matmul reduction order, so argmax
+near-ties can resolve differently — the same class of divergence as
+batched-vs-incremental inference in any half-precision stack. Measured
+on TPU with random weights (the tie-maximizing worst case): 92% token
+agreement and 2.8x wall-clock speedup at window=8 (PERF.md); with
+trained weights ties are rare and agreement is correspondingly higher.
 
 Guesses are the window's own trailing predictions (Jacobi iteration) —
 effective on structured token streams like the 9-token face grammar.
@@ -42,8 +50,13 @@ class LookaheadState(NamedTuple):
 
 
 def _window_step(params, cfg: ShapeOPTConfig, state: LookaheadState,
-                 window: int, kv_slice_len: int):
-    """One W-token forward + acceptance."""
+                 window: int, kv_slice_len: int, attn: str = "xla",
+                 chunk: int = 512, interpret: bool = False):
+    """One W-token forward + acceptance.
+
+    attn="pallas": the multi-query flash-decoding kernel streams exactly
+    the live context once for all W queries
+    (ops/decode_attention.py::decode_attention_mq_impl)."""
     b = state.steps.shape[0]
     w = window
     dtype = params["cond_embed"].dtype
@@ -89,25 +102,34 @@ def _window_step(params, cfg: ShapeOPTConfig, state: LookaheadState,
         kv = jax.lax.dynamic_update_slice(kv, k_plane[None, None], (zero, layer_idx, zero, zero, zero))
         kv = jax.lax.dynamic_update_slice(kv, v_plane[None, None], (jnp.ones((), jnp.int32), layer_idx, zero, zero, zero))
 
-        # attention: W queries vs the first kv_slice_len cache slots,
-        # causal per absolute position
-        keys = jax.lax.dynamic_slice(
-            kv, (zero, layer_idx, zero, zero, zero), (1, 1, b, kv_slice_len, d_model)
-        )[0, 0].reshape(b, kv_slice_len, h, hd)
-        vals = jax.lax.dynamic_slice(
-            kv, (jnp.ones((), jnp.int32), layer_idx, zero, zero, zero),
-            (1, 1, b, kv_slice_len, d_model),
-        )[0, 0].reshape(b, kv_slice_len, h, hd)
-
         qh = q.reshape(b, w, h, hd)
-        scale = 1.0 / (hd ** 0.5)
-        logits = jnp.einsum("bqhd,bshd->bhqs", qh * jnp.asarray(scale, qh.dtype), keys,
-                            preferred_element_type=jnp.float32)
-        span = jnp.arange(kv_slice_len)
-        mask = span[None, None, :] <= abs_pos[:, :, None]          # (B, W, S)
-        logits = jnp.where(mask[:, None], logits, jnp.float32(-1e30))
-        attn_w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(qh.dtype)
-        o = jnp.einsum("bhqs,bshd->bqhd", attn_w, vals, preferred_element_type=qh.dtype)
+        if attn == "pallas":
+            from meshanything_tpu.ops.decode_attention import decode_attention_mq_impl
+
+            # query i of row r sees write_start[r] + i + 1 rows
+            o = decode_attention_mq_impl(
+                qh, kv, layer_idx, write_start,
+                chunk=chunk, interpret=interpret,
+            ).astype(x.dtype)
+        else:
+            # attention: W queries vs the first kv_slice_len cache
+            # slots, causal per absolute position
+            keys = jax.lax.dynamic_slice(
+                kv, (zero, layer_idx, zero, zero, zero), (1, 1, b, kv_slice_len, d_model)
+            )[0, 0].reshape(b, kv_slice_len, h, hd)
+            vals = jax.lax.dynamic_slice(
+                kv, (jnp.ones((), jnp.int32), layer_idx, zero, zero, zero),
+                (1, 1, b, kv_slice_len, d_model),
+            )[0, 0].reshape(b, kv_slice_len, h, hd)
+
+            scale = 1.0 / (hd ** 0.5)
+            logits = jnp.einsum("bqhd,bshd->bhqs", qh * jnp.asarray(scale, qh.dtype), keys,
+                                preferred_element_type=jnp.float32)
+            span = jnp.arange(kv_slice_len)
+            mask = span[None, None, :] <= abs_pos[:, :, None]      # (B, W, S)
+            logits = jnp.where(mask[:, None], logits, jnp.float32(-1e30))
+            attn_w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(qh.dtype)
+            o = jnp.einsum("bhqs,bshd->bqhd", attn_w, vals, preferred_element_type=qh.dtype)
 
         residual = x
         x = residual + linear(o.reshape(b, w, d_model), p["out"]["w"], p["out"]["b"])
@@ -176,9 +198,13 @@ def generate_lookahead(
     window: int = 8,
     bucket: int = 512,
     key: Optional[jax.Array] = None,
+    attn: str = "auto",
 ) -> jax.Array:
     """Greedy generation with lookahead; token-identical to
     ``generate(..., sampling=False)``. Returns (B, max_new_tokens)."""
+    if attn == "auto":
+        attn = "pallas" if jax.default_backend() == "tpu" else "xla"
+    interpret = attn == "pallas" and jax.default_backend() != "tpu"
     b, c, _ = cond_embeds.shape
     w = window
     s_max = -(-(c + max_new_tokens + w) // bucket) * bucket
@@ -198,7 +224,21 @@ def generate_lookahead(
         ),
     )
 
-    # bucket schedule on the *max* live position across rows
+    if attn == "pallas":
+        # the kernel streams per-row live context — one loop, no buckets
+        def cond_fn(st):
+            live = (st.steps < max_new_tokens) & ~st.done
+            return jnp.any(live)
+
+        state = jax.lax.while_loop(
+            cond_fn,
+            lambda st: _window_step(params, cfg, st, w, s_max, attn="pallas",
+                                    chunk=bucket, interpret=interpret),
+            state,
+        )
+        return state.tokens[:, :max_new_tokens]
+
+    # XLA path: bucket schedule on the *max* live position across rows
     starts = list(range(0, s_max, bucket))
     for bstart in starts:
         bend = min(bstart + bucket, s_max)

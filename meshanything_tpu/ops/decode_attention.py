@@ -197,6 +197,154 @@ def decode_attention(q, kv_cache, layer, cur_len, *, chunk: int = 512,
 
 
 # ---------------------------------------------------------------------------
+# multi-query variant (lookahead windows / chunked prefill)
+
+
+def _kernel_mq(
+    # scalar prefetch
+    base_ref,           # SMEM (B,) int32 — per-row confirmed kv length
+    layer_ref,          # SMEM (1,) int32
+    # inputs
+    qmat_ref,           # VMEM (1, W*H, H*D) block-diagonal queries
+    kv_hbm,             # HBM  (2, L, B, S, H*D)
+    # output
+    o_ref,              # VMEM (1, W*H, H*D)
+    # scratch
+    k_buf, v_buf,       # VMEM (2, CHUNK, H*D)
+    sem,                # DMA  (2, 2)
+    *,
+    chunk: int,
+    scale: float,
+    num_heads: int,
+    window: int,
+):
+    b = pl.program_id(0)
+    layer = layer_ref[0]
+    base = base_ref[b]
+    # query w may see base + w + 1 rows; the widest is the last query
+    max_len = base + window
+    num_chunks = pl.cdiv(max_len, chunk)
+
+    def get_dma(slot, idx):
+        span = pl.ds(idx * chunk, chunk)
+        return (
+            pltpu.make_async_copy(kv_hbm.at[0, layer, b, span], k_buf.at[slot], sem.at[slot, 0]),
+            pltpu.make_async_copy(kv_hbm.at[1, layer, b, span], v_buf.at[slot], sem.at[slot, 1]),
+        )
+
+    kd, vd = get_dma(0, 0)
+    kd.start()
+    vd.start()
+
+    qmat = qmat_ref[0].astype(jnp.float32) * scale                # (W*H, HD)
+    wh, hd = qmat.shape
+
+    # per logits-row kv visibility: row r = w*H + h sees base + w + 1 rows
+    w_of_row = jax.lax.broadcasted_iota(jnp.int32, (wh, chunk), 0) // num_heads
+    cur_of_row = base + w_of_row + 1                               # (W*H, CHUNK)
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        slot = i % 2
+
+        @pl.when(i + 1 < num_chunks)
+        def _():
+            nkd, nvd = get_dma((i + 1) % 2, i + 1)
+            nkd.start()
+            nvd.start()
+
+        kd_i, vd_i = get_dma(slot, i)
+        kd_i.wait()
+        vd_i.wait()
+
+        k = k_buf[slot].astype(jnp.float32)
+        v = v_buf[slot].astype(jnp.float32)
+
+        logits = jax.lax.dot_general(
+            qmat, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                          # (W*H, CHUNK)
+        span = i * chunk + jax.lax.broadcasted_iota(jnp.int32, (wh, chunk), 1)
+        logits = jnp.where(span < cur_of_row, logits, NEG_INF)
+
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev[:, :1], m_cur)
+        p = jnp.exp(logits - m_new)
+        corr = jnp.exp(m_prev[:, :1] - m_new)
+        l_new = corr * l_prev[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc_new = acc * corr + pv
+        return (
+            acc_new,
+            jnp.broadcast_to(m_new, (wh, 128)),
+            jnp.broadcast_to(l_new, (wh, 128)),
+        )
+
+    init = (
+        jnp.zeros((wh, hd), jnp.float32),
+        jnp.full((wh, 128), NEG_INF, jnp.float32),
+        jnp.zeros((wh, 128), jnp.float32),
+    )
+    acc, _m, l_fin = jax.lax.fori_loop(0, num_chunks, body, init)
+    out = acc / jnp.maximum(l_fin[:, :1], 1e-30)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def decode_attention_mq_impl(
+    q: jax.Array,          # (B, W, H, D) window queries
+    kv_cache: jax.Array,   # (2, L, B, S, H*D)
+    layer: jax.Array,      # scalar int32
+    base_lens: jax.Array,  # (B,) int32 — confirmed kv rows per row
+                           # (query w of row r attends to base_lens[r]+w+1 rows)
+    *,
+    chunk: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Multi-query flash-decoding for lookahead windows: W queries per
+    row share ONE streaming sweep of the live context. Returns
+    (B, W, H, D)."""
+    b, w, h, d = q.shape
+    hd = h * d
+    scale = 1.0 / math.sqrt(d)
+
+    # block-diagonal embedding per (w, h) pair
+    eye = jnp.eye(h, dtype=q.dtype)
+    qmat = jnp.einsum("ij,bwjd->bwijd", eye, q).reshape(b, w * h, hd)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, w * h, hd), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((1, w * h, hd), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, hd), kv_cache.dtype),
+            pltpu.VMEM((2, chunk, hd), kv_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _kernel_mq, chunk=chunk, scale=scale, num_heads=h, window=w
+    )
+    out_full = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, w * h, hd), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        jnp.asarray(base_lens, jnp.int32).reshape(b),
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        qmat,
+        kv_cache,
+    )
+    out5 = out_full.reshape(b, w, h, h, d)
+    return out5[:, :, jnp.arange(h), jnp.arange(h), :].reshape(b, w, h, d)
+
+
+# ---------------------------------------------------------------------------
 # int8-quantized cache variant
 
 
