@@ -51,7 +51,8 @@ class LookaheadState(NamedTuple):
 
 def _window_step(params, cfg: ShapeOPTConfig, state: LookaheadState,
                  window: int, kv_slice_len: int, attn: str = "xla",
-                 chunk: int = 512, interpret: bool = False):
+                 chunk: int = 512, interpret: bool = False,
+                 max_new_tokens: int | None = None):
     """One W-token forward + acceptance.
 
     attn="pallas": the multi-query flash-decoding kernel streams exactly
@@ -157,8 +158,15 @@ def _window_step(params, cfg: ShapeOPTConfig, state: LookaheadState,
     first_eos = jnp.argmax(is_eos, axis=-1)
     has_eos = is_eos.any(axis=-1)
     accepted = jnp.where(has_eos, jnp.minimum(accepted, first_eos + 1), accepted)
-    # rows already done emit nothing new
-    accepted = jnp.where(state.done, 0, accepted)
+    # freeze rows that are done OR have exhausted the token budget —
+    # otherwise their steps (and thus the kernel's per-row base length)
+    # keep growing while other rows run, driving the window's KV writes
+    # and the MQ kernel's DMA spans past the padded cache extent
+    frozen = state.done
+    if max_new_tokens is not None:
+        frozen = frozen | (state.steps >= max_new_tokens)
+        accepted = jnp.minimum(accepted, jnp.maximum(max_new_tokens - state.steps, 0))
+    accepted = jnp.where(frozen, 0, accepted)
 
     # write the window's predictions; entries beyond `accepted` are
     # either re-written next iteration or remain the eos prefill
@@ -176,7 +184,7 @@ def _window_step(params, cfg: ShapeOPTConfig, state: LookaheadState,
     # next window: w_0 = last accepted token; guesses = remaining preds
     last_idx = jnp.maximum(accepted - 1, 0)
     last_tok = jnp.take_along_axis(preds, last_idx[:, None], axis=1)[:, 0]
-    last_tok = jnp.where(state.done, state.window[:, 0], last_tok)
+    last_tok = jnp.where(frozen, state.window[:, 0], last_tok)
     # shift predictions left by `accepted` as the new guesses
     def shift_row(p_row, a):
         rolled = jnp.roll(p_row, -a)
@@ -184,7 +192,7 @@ def _window_step(params, cfg: ShapeOPTConfig, state: LookaheadState,
 
     guesses = jax.vmap(shift_row)(preds, accepted)                  # (B, W)
     new_window = jnp.concatenate([last_tok[:, None], guesses[:, : w - 1]], axis=1)
-    new_steps = jnp.where(state.done, state.steps, new_steps)
+    new_steps = jnp.where(frozen, state.steps, new_steps)
 
     return LookaheadState(new_steps, tokens, kv, new_done, new_window)
 
@@ -200,8 +208,9 @@ def generate_lookahead(
     key: Optional[jax.Array] = None,
     attn: str = "auto",
 ) -> jax.Array:
-    """Greedy generation with lookahead; token-identical to
-    ``generate(..., sampling=False)``. Returns (B, max_new_tokens)."""
+    """Greedy generation with lookahead. Token-identical to
+    ``generate(..., sampling=False)`` in exact arithmetic (bf16 caveat
+    in the module docstring). Returns (B, max_new_tokens)."""
     if attn == "auto":
         attn = "pallas" if jax.default_backend() == "tpu" else "xla"
     interpret = attn == "pallas" and jax.default_backend() != "tpu"
@@ -233,7 +242,8 @@ def generate_lookahead(
         state = jax.lax.while_loop(
             cond_fn,
             lambda st: _window_step(params, cfg, st, w, s_max, attn="pallas",
-                                    chunk=bucket, interpret=interpret),
+                                    chunk=bucket, interpret=interpret,
+                                    max_new_tokens=max_new_tokens),
             state,
         )
         return state.tokens[:, :max_new_tokens]
@@ -251,7 +261,8 @@ def generate_lookahead(
             return jnp.any(live) & (max_pos < _bend)
 
         def body_fn(st, _bend=bend):
-            return _window_step(params, cfg, st, w, _bend)
+            return _window_step(params, cfg, st, w, _bend,
+                                max_new_tokens=max_new_tokens)
 
         state = jax.lax.while_loop(cond_fn, body_fn, state)
 
@@ -260,6 +271,11 @@ def generate_lookahead(
         live = (st.steps < max_new_tokens) & ~st.done
         return jnp.any(live)
 
-    state = jax.lax.while_loop(cond_fn, lambda st: _window_step(params, cfg, st, w, s_max), state)
+    state = jax.lax.while_loop(
+        cond_fn,
+        lambda st: _window_step(params, cfg, st, w, s_max,
+                                max_new_tokens=max_new_tokens),
+        state,
+    )
 
     return state.tokens[:, :max_new_tokens]

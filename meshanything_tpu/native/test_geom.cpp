@@ -46,7 +46,8 @@ int main() {
     // a grid node on the surface has near-zero distance
     int ix = static_cast<int>(std::lround((h - lo) / spacing));
     int iy = static_cast<int>(std::lround((0.0 - lo) / spacing));
-    float surf = out[(static_cast<int64_t>(ix) * size + iy) * size + iy];
+    int iz = static_cast<int>(std::lround((0.0 - lo) / spacing));
+    float surf = out[(static_cast<int64_t>(ix) * size + iy) * size + iz];
     assert(surf < 2.5f * spacing);
     std::printf("size=%d ok (center=%.3f surf=%.4f)\n", size, center, surf);
   }

@@ -198,6 +198,13 @@ def decode_attention(q, kv_cache, layer, cur_len, *, chunk: int = 512,
 
 # ---------------------------------------------------------------------------
 # multi-query variant (lookahead windows / chunked prefill)
+#
+# NOTE: _kernel, _kernel_mq and _kernel_int8 share the DMA-pipelined
+# online-softmax skeleton on purpose: the single-query kernel is the
+# benchmarked hot path and stays specialized; unifying them behind one
+# parameterized body (w=1, base=cur_len-1, optional scales) is a
+# planned cleanup once re-benchmarking is cheap. Until then, a change
+# to any one of the three must be mirrored in the others.
 
 
 def _kernel_mq(

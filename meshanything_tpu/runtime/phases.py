@@ -62,6 +62,7 @@ class PhaseRunner:
         self.cfg = cfg
         self.attn = attn
         self.bucket = bucket
+        self._lookahead = lookahead
         dtype = cfg.activation_dtype
 
         @jax.jit
@@ -76,10 +77,11 @@ class PhaseRunner:
             if lookahead > 0 and not sampling:
                 from meshanything_tpu.models.lookahead import generate_lookahead
 
+                la_attn = "pallas" if attn == "pallas_int8" else attn
                 return generate_lookahead(
                     params["opt"], cfg.opt, cond,
                     max_new_tokens=cfg.generate_length,
-                    window=lookahead, bucket=bucket,
+                    window=lookahead, bucket=bucket, attn=la_attn,
                 )
             return opt_mod.generate(
                 params["opt"], cfg.opt, cond,
@@ -103,7 +105,10 @@ class PhaseRunner:
     def __call__(self, pc_normal: jax.Array, *, sampling: bool = False,
                  key: Optional[jax.Array] = None, timer=None):
         if jax.default_backend() == "tpu":
-            check_memory_budget(self.cfg, pc_normal.shape[0], self.bucket, self.attn)
+            # lookahead always allocates the bf16 cache, so never apply
+            # the int8 halving to its estimate
+            guard_attn = "pallas" if self._lookahead > 0 else self.attn
+            check_memory_budget(self.cfg, pc_normal.shape[0], self.bucket, guard_attn)
         if key is None:
             key = jax.random.PRNGKey(0)
 

@@ -119,9 +119,11 @@ def axis_scale_augment(
 
     pos = surface[:, :3] * s
     q = queries * s
-    # renormalize to keep the max half-extent at its original value
-    extent = np.abs(np.concatenate([pos, q], axis=0)).max()
-    orig = np.abs(np.concatenate([surface[:, :3], queries], axis=0)).max()
+    # renormalize so the SURFACE keeps its original max half-extent (the
+    # reference normalizes by the shape, not by the query box — volume
+    # queries near the bounds would otherwise dominate the factor)
+    extent = np.abs(pos).max()
+    orig = np.abs(surface[:, :3]).max()
     factor = orig / max(extent, 1e-12)
     pos = pos * factor
     q = q * factor

@@ -45,3 +45,31 @@ def test_lookahead_batch_rows_divergent_lengths(rng):
         eos = np.where(plain[row] == CFG.eos_token_id)[0]
         limit = (eos[0] + 1) if len(eos) else plain.shape[1]
         np.testing.assert_array_equal(look[row, :limit], plain[row, :limit], err_msg=f"row={row}")
+
+
+def test_lookahead_frozen_rows_stay_in_bounds(rng):
+    """A row that exhausts the budget without eos must freeze: its steps
+    stop growing while other rows continue (the regression that drove
+    out-of-bounds kernel DMA)."""
+    params = sopt.init_shape_opt_params(jax.random.PRNGKey(13), CFG)
+    b = 3
+    cond = jnp.asarray(rng.normal(size=(b, CFG.cond_length, CFG.hidden_size)).astype(np.float32))
+    max_new = 11  # not a multiple of the window: forces partial windows
+    look = np.asarray(generate_lookahead(params, CFG, cond, max_new_tokens=max_new, window=4, bucket=16))
+    plain = np.asarray(sopt.generate(params, CFG, cond, max_new_tokens=max_new, bucket=16, attn="xla"))
+    assert look.shape == (b, max_new)
+    for row in range(b):
+        eos = np.where(plain[row] == CFG.eos_token_id)[0]
+        limit = (eos[0] + 1) if len(eos) else max_new
+        np.testing.assert_array_equal(look[row, :limit], plain[row, :limit], err_msg=f"row={row}")
+
+
+def test_lookahead_pallas_interpret_matches_plain(rng):
+    params = sopt.init_shape_opt_params(jax.random.PRNGKey(3), CFG)
+    cond = jnp.asarray(rng.normal(size=(2, CFG.cond_length, CFG.hidden_size)).astype(np.float32) * 0.5)
+    plain = np.asarray(sopt.generate(params, CFG, cond, max_new_tokens=16, bucket=16, attn="xla"))
+    look_p = np.asarray(generate_lookahead(params, CFG, cond, max_new_tokens=16, window=4, bucket=16, attn="pallas"))
+    for row in range(2):
+        eos = np.where(plain[row] == CFG.eos_token_id)[0]
+        limit = (eos[0] + 1) if len(eos) else 16
+        np.testing.assert_array_equal(look_p[row, :limit], plain[row, :limit], err_msg=f"row={row}")

@@ -55,3 +55,32 @@ def test_kv_int8_roundtrip_error(rng):
     err = np.abs(np.asarray(back) - np.asarray(kv)).max()
     rel = err / np.abs(np.asarray(kv)).max()
     assert rel < 0.01, rel  # int8 symmetric: <1% of per-row amax
+
+
+def test_decode_attention_mq_interpret_matches_window_math(rng):
+    """Multi-query kernel vs explicit per-query masked attention."""
+    import math
+
+    from meshanything_tpu.ops.decode_attention import decode_attention_mq_impl
+
+    B, W, H, D, S, L = 2, 4, 4, 64, 256, 2
+    q = jnp.asarray(rng.normal(size=(B, W, H, D)).astype(np.float32))
+    kv = jnp.asarray(rng.normal(size=(2, L, B, S, H * D)).astype(np.float32) * 0.3)
+    base = jnp.asarray([100, 37], jnp.int32)
+
+    for layer in (0, 1):
+        out = decode_attention_mq_impl(q, kv, layer, base, chunk=128, interpret=True)
+
+        k = np.asarray(kv[0, layer]).reshape(B, S, H, D)
+        v = np.asarray(kv[1, layer]).reshape(B, S, H, D)
+        scale = 1.0 / math.sqrt(D)
+        ref = np.zeros((B, W, H, D), np.float32)
+        for b in range(B):
+            for w in range(W):
+                cur = int(base[b]) + w + 1
+                logits = np.einsum("hd,shd->hs", np.asarray(q[b, w]) * scale, k[b, :cur])
+                p = np.exp(logits - logits.max(-1, keepdims=True))
+                p /= p.sum(-1, keepdims=True)
+                ref[b, w] = np.einsum("hs,shd->hd", p, v[b, :cur])
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-4,
+                                   err_msg=f"layer={layer}")
