@@ -66,3 +66,26 @@ def test_dp_sharded_generate_matches_single_device(cfg, params, rng):
         pc_s = jax.device_put(pc, NamedSharding(mesh, P("data", None, None)))
         out = jax.jit(lambda p, a: ma.generate(p, cfg, a, bucket=16).token_ids)(sharded, pc_s)
     np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_dryrun_multichip_self_provisions():
+    """Simulate the driver: a bare subprocess with no XLA_FLAGS / conftest.
+
+    Round-1 regression: the driver invokes ``dryrun_multichip(8)`` in a
+    fresh process where the sitecustomize hook force-registers the
+    single-chip axon TPU platform; the entry point must provision its
+    own 8-device virtual CPU mesh (MULTICHIP_r01.json failed rc=1).
+    """
+    import subprocess
+    import sys
+    import os
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=560,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip OK" in proc.stdout
