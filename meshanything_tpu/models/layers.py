@@ -94,6 +94,91 @@ def attention(
     return out
 
 
+def flash_attention_causal(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+) -> jax.Array:
+    """Blockwise causal attention with online softmax (flash-attention
+    recomputation scheme) in pure JAX — O(block_q * block_k) live logits
+    instead of the O(N^2) score matrix ``attention(causal=True)``
+    materializes.
+
+    This is the training/prefill long-sequence path: at the real
+    7,459-token teacher-forcing sequence the dense formulation holds
+    ~56 M logits x 16 heads per layer; this never holds more than one
+    (block_q, block_k) tile per head. Built from lax.scan only, so it is
+    reverse-differentiable and composes with jax.checkpoint (the remat
+    recipe replacing the reference's unconditional CheckpointFunction,
+    michelangelo/models/modules/checkpoint.py:10-69).
+
+    q, k, v: (B, N, H, D) with N a multiple of block_q and block_k.
+    Accumulation is f32; returns q.dtype.
+    """
+    b, n, h, d = q.shape
+    if n % block_q or n % block_k:
+        raise ValueError(f"seq {n} must be a multiple of block_q={block_q}, block_k={block_k}")
+    s = (1.0 / math.sqrt(d)) if scale is None else scale
+    q = q * jnp.asarray(s, q.dtype)
+
+    nq, nk = n // block_q, n // block_k
+    # (n_blocks, B, block, H, D) — scan iterates the leading axis
+    qb = q.reshape(b, nq, block_q, h, d).transpose(1, 0, 2, 3, 4)
+    kb = k.reshape(b, nk, block_k, h, d).transpose(1, 0, 2, 3, 4)
+    vb = v.reshape(b, nk, block_k, h, d).transpose(1, 0, 2, 3, 4)
+
+    q_span = jnp.arange(block_q)
+    k_span = jnp.arange(block_k)
+    neg = jnp.float32(-1e30)
+
+    def q_block(_, qi_and_block):
+        qi, qblk = qi_and_block  # qblk: (B, bq, H, D)
+
+        def k_block(carry, ki_and_block):
+            m, l, acc = carry
+            ki, kblk, vblk = ki_and_block
+
+            def attend(carry):
+                m, l, acc = carry
+                logits = jnp.einsum(
+                    "bqhd,bshd->bhqs", qblk, kblk, preferred_element_type=jnp.float32
+                )
+                gq = qi * block_q + q_span
+                gk = ki * block_k + k_span
+                mask = gq[:, None] >= gk[None, :]
+                logits = jnp.where(mask[None, None], logits, neg)
+                m_new = jnp.maximum(m, logits.max(axis=-1))        # (B, H, bq)
+                alpha = jnp.exp(m - m_new)
+                p = jnp.exp(logits - m_new[..., None])             # (B, H, bq, bk)
+                l_new = l * alpha + p.sum(axis=-1)
+                pv = jnp.einsum(
+                    "bhqs,bshd->bqhd", p.astype(q.dtype), vblk,
+                    preferred_element_type=jnp.float32,
+                )
+                acc_new = acc * alpha.transpose(0, 2, 1)[..., None] + pv
+                return m_new, l_new, acc_new
+
+            # skip key blocks that lie entirely in the causal future
+            live = ki * block_k <= qi * block_q + (block_q - 1)
+            return jax.lax.cond(live, attend, lambda c: c, (m, l, acc)), None
+
+        init = (
+            jnp.full((b, h, block_q), neg),
+            jnp.zeros((b, h, block_q), jnp.float32),
+            jnp.zeros((b, block_q, h, d), jnp.float32),
+        )
+        (m, l, acc), _ = jax.lax.scan(k_block, init, (jnp.arange(nk), kb, vb))
+        out = acc / l.transpose(0, 2, 1)[..., None]
+        return None, out.astype(q.dtype)
+
+    _, ys = jax.lax.scan(q_block, None, (jnp.arange(nq), qb))  # (nq, B, bq, H, D)
+    return ys.transpose(1, 0, 2, 3, 4).reshape(b, n, h, d)
+
+
 def self_attention_block(
     x: jax.Array,
     p: dict,

@@ -133,11 +133,18 @@ def forward_logits(
     cfg: MeshAnythingConfig,
     pc_normal: jax.Array,
     token_ids: jax.Array,
+    *,
+    remat: bool = False,
+    block_q: int = 0,
 ) -> jax.Array:
     """Teacher-forcing logits over [cond ‖ token_ids] — the training-path
     forward (ShapeOPT.forward with labels, shape_opt.py:155-166 computes
-    the shifted CE elsewhere; see training/losses.py)."""
+    the shifted CE elsewhere; see training/losses.py).
+
+    remat/block_q: per-layer rematerialization and blockwise causal
+    attention for full-length training (see shape_opt.forward_full)."""
     dtype = cfg.activation_dtype
     point_feature = per_mod.encode_latents(params["perceiver"], cfg.perceiver, pc_normal.astype(dtype))
     cond = process_point_feature(params, cfg, point_feature)
-    return opt_mod.forward_full(params["opt"], cfg.opt, cond, token_ids)
+    return opt_mod.forward_full(params["opt"], cfg.opt, cond, token_ids,
+                                remat=remat, block_q=block_q)

@@ -117,9 +117,18 @@ def face_phase_ids(ids: jax.Array, gen_index: jax.Array, face_per_token: int) ->
 # transformer core
 
 
-def _opt_layer_prefill(cfg: ShapeOPTConfig):
+def _opt_layer_prefill(cfg: ShapeOPTConfig, *, block_q: int = 0, with_kv: bool = True):
     """Returns a scan body over stacked layer params for the causal
-    prefill pass; emits per-layer (k, v) for the cache."""
+    prefill pass.
+
+    with_kv: emit per-layer (k, v) for the decode cache (the prefill
+    call); the training pass sets False so the scan does not stack a
+    full KV cache it never reads.
+    block_q > 0: use the blockwise online-softmax attention
+    (layers.flash_attention_causal) instead of materializing the dense
+    (N, N) score matrix — required at the real 7,459-token
+    teacher-forcing length.
+    """
     h = cfg.num_heads
     d = cfg.head_dim
 
@@ -131,9 +140,14 @@ def _opt_layer_prefill(cfg: ShapeOPTConfig):
         q = q.reshape(b, n, h, d)
         k = k.reshape(b, n, h, d)
         v = v.reshape(b, n, h, d)
-        from meshanything_tpu.models.layers import attention
+        if block_q:
+            from meshanything_tpu.models.layers import flash_attention_causal
 
-        o = attention(q, k, v, causal=True)
+            o = flash_attention_causal(q, k, v, block_q=block_q, block_k=block_q)
+        else:
+            from meshanything_tpu.models.layers import attention
+
+            o = attention(q, k, v, causal=True)
         x = residual + linear(o.reshape(b, n, h * d), p["out"]["w"], p["out"]["b"])
         x = layer_norm(x, p["ln_attn"]["scale"], p["ln_attn"]["bias"], cfg.ln_eps)
 
@@ -141,7 +155,7 @@ def _opt_layer_prefill(cfg: ShapeOPTConfig):
         x2 = jax.nn.relu(linear(x, p["fc1"]["w"], p["fc1"]["b"]))
         x = residual + linear(x2, p["fc2"]["w"], p["fc2"]["b"])
         x = layer_norm(x, p["ln_ffn"]["scale"], p["ln_ffn"]["bias"], cfg.ln_eps)
-        return x, (k, v)
+        return x, (k, v) if with_kv else None
 
     return body
 
@@ -184,10 +198,24 @@ def forward_full(
     cond_embeds: jax.Array,
     token_ids: jax.Array,
     token_mask: Optional[jax.Array] = None,
+    *,
+    remat: bool = False,
+    block_q: int = 0,
 ) -> jax.Array:
     """Teacher-forcing pass over [condition ‖ tokens] -> logits for every
     position (the training-path equivalent of shape_opt.py:318-328 with
     input_ids + 2D mask). token_ids: (B, T) int32. Returns (B, C+T, vocab).
+
+    remat: wrap each layer in jax.checkpoint so backward recomputes
+    activations per layer instead of storing all 24 — the TPU-native
+    equivalent of the reference's unconditional attention checkpointing
+    (michelangelo/models/modules/checkpoint.py:10-69, wrapped at
+    transformer_blocks.py:43,150). Required for full-length (7,459-token)
+    training steps.
+    block_q > 0: blockwise flash attention for the causal pass (the
+    sequence is zero-padded to a block multiple internally; padded
+    positions sit in the causal future of every real token, so results
+    are unchanged).
     """
     b, c, _ = cond_embeds.shape
     t = token_ids.shape[1]
@@ -204,8 +232,17 @@ def forward_full(
     positions = jnp.arange(c + t) + cfg.pos_offset
     x = x + params["embed_positions"][positions].astype(x.dtype)
 
-    body = _opt_layer_prefill(cfg)
-    x, _ = jax.lax.scan(lambda h, p: body(h, p), x, params["layers"])
+    n = c + t
+    pad = (-n) % block_q if block_q else 0
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+
+    body = _opt_layer_prefill(cfg, block_q=block_q, with_kv=False)
+    if remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    if pad:
+        x = x[:, :n]
     return linear(x, params["lm_head"]["w"]).astype(jnp.float32)
 
 

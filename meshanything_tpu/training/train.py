@@ -34,8 +34,10 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2) -> optax.Gradie
     return optax.adamw(lr, b1=0.9, b2=0.99, eps=1e-6, weight_decay=weight_decay)
 
 
-def loss_fn(params, cfg: MeshAnythingConfig, pc_normal, token_ids, labels):
-    logits = ma.forward_logits(params, cfg, pc_normal, token_ids)
+def loss_fn(params, cfg: MeshAnythingConfig, pc_normal, token_ids, labels,
+            *, remat: bool = True, block_q: int = 0):
+    logits = ma.forward_logits(params, cfg, pc_normal, token_ids,
+                               remat=remat, block_q=block_q)
     # only the generated-token region contributes (condition positions
     # carry no labels) — labels are prepadded with -100 there.
     loss = shifted_token_ce(logits, labels)
@@ -43,8 +45,11 @@ def loss_fn(params, cfg: MeshAnythingConfig, pc_normal, token_ids, labels):
     return loss, {"loss": loss, "accuracy": acc}
 
 
-def train_step(state: TrainState, cfg: MeshAnythingConfig, optimizer, pc_normal, token_ids, labels):
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+def train_step(state: TrainState, cfg: MeshAnythingConfig, optimizer, pc_normal, token_ids, labels,
+               *, remat: bool = True, block_q: int = 0):
+    grad_fn = jax.value_and_grad(
+        functools.partial(loss_fn, remat=remat, block_q=block_q), has_aux=True
+    )
     (loss, metrics), grads = grad_fn(state.params, cfg, pc_normal, token_ids, labels)
     updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
@@ -56,12 +61,20 @@ def make_sharded_train_step(
     cfg: MeshAnythingConfig,
     params,
     optimizer: Optional[optax.GradientTransformation] = None,
+    *,
+    remat: bool = True,
+    block_q: int = 0,
 ) -> Tuple[TrainState, callable]:
     """Build a jitted, sharded train step.
 
     Params get TP shardings (parallel/mesh.py specs); batch arrays are
     sharded on the ``data`` axis; optimizer state inherits the param
     shardings via init-under-jit.
+
+    remat (default on): per-layer jax.checkpoint in the decoder stack so
+    full-length sequences fit in HBM. block_q: blockwise causal
+    attention tile (0 = dense; use e.g. 512 at the real 7,459-token
+    length).
     """
     if optimizer is None:
         optimizer = make_optimizer()
@@ -88,7 +101,8 @@ def make_sharded_train_step(
         pc_normal = jax.lax.with_sharding_constraint(pc_normal, batch_shard3)
         token_ids = jax.lax.with_sharding_constraint(token_ids, batch_shard2)
         labels = jax.lax.with_sharding_constraint(labels, batch_shard2)
-        return train_step(state, cfg, optimizer, pc_normal, token_ids, labels)
+        return train_step(state, cfg, optimizer, pc_normal, token_ids, labels,
+                          remat=remat, block_q=block_q)
 
     return state, step_fn
 

@@ -105,3 +105,79 @@ def test_shifted_ce_ignore_index():
     np.testing.assert_allclose(float(loss), np.log(5), rtol=1e-5)
     acc = token_accuracy(logits, labels)
     assert 0.0 <= float(acc) <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# remat + blockwise flash attention (VERDICT r1 item 5)
+
+
+def test_flash_attention_causal_matches_dense(rng):
+    from meshanything_tpu.models.layers import attention, flash_attention_causal
+
+    b, n, h, d = 2, 24, 4, 8
+    q, k, v = (jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32)) for _ in range(3))
+    dense = attention(q, k, v, causal=True)
+    for bq, bk in [(8, 8), (12, 4), (4, 12), (24, 24)]:
+        flash = flash_attention_causal(q, k, v, block_q=bq, block_k=bk)
+        np.testing.assert_allclose(np.asarray(flash), np.asarray(dense), atol=2e-5)
+
+
+def test_flash_attention_causal_grads_match(rng):
+    from meshanything_tpu.models.layers import attention, flash_attention_causal
+
+    b, n, h, d = 1, 16, 2, 4
+    q, k, v = (jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32)) for _ in range(3))
+
+    def loss_dense(q, k, v):
+        return jnp.sum(attention(q, k, v, causal=True) ** 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention_causal(q, k, v, block_q=4, block_k=4) ** 2)
+
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gd, gf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5)
+
+
+def test_forward_full_blockwise_remat_matches_dense(rng):
+    """forward_full(remat, block_q) must be numerically identical to the
+    dense pass, including internal padding to a block multiple."""
+    from meshanything_tpu.models import meshanything as ma
+
+    cfg = small_test_config(n_max_triangles=4)
+    params = ma.init_meshanything_params(jax.random.PRNGKey(0), cfg)
+    pc = jnp.asarray(rng.normal(size=(2, cfg.perceiver.num_points, 6)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(3, cfg.opt.vocab_size, size=(2, 21)).astype(np.int32))
+
+    dense = ma.forward_logits(params, cfg, pc, ids)
+    # cond 17 + 21 tokens = 38 positions -> pads to 40 with block_q=8
+    flash = ma.forward_logits(params, cfg, pc, ids, remat=True, block_q=8)
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(dense), atol=3e-5)
+
+
+def test_train_step_long_seq_remat_blockwise():
+    """Full-length-style training: seq >= 2048 through the sharded step
+    with remat + blockwise attention on the 8-device CPU mesh
+    (VERDICT r1: COMPONENTS.md's gradient-checkpointing claim must hold
+    beyond toy lengths)."""
+    import dataclasses
+
+    from meshanything_tpu.models import meshanything as ma
+    from meshanything_tpu.parallel.mesh import create_mesh
+    from meshanything_tpu.training.train import make_batch, make_sharded_train_step
+
+    base = small_test_config(n_max_triangles=228)  # 228*9+2 = 2054 tokens
+    cfg = dataclasses.replace(
+        base, opt=dataclasses.replace(base.opt, max_positions=2560)
+    )
+    assert cfg.generate_length >= 2048
+    params = ma.init_meshanything_params(jax.random.PRNGKey(0), cfg)
+    mesh = create_mesh(data=2, model=4)
+    with mesh:
+        state, step_fn = make_sharded_train_step(mesh, cfg, params, block_q=256)
+        rng = np.random.default_rng(0)
+        pc, ids, labels = make_batch(cfg, rng, batch=2, seq=cfg.generate_length)
+        state, metrics = step_fn(state, jnp.asarray(pc), jnp.asarray(ids), jnp.asarray(labels))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state.step) == 1
