@@ -6,9 +6,15 @@ Replaces skimage.measure.marching_cubes in the watertighting path
 downstream because it is immediately re-sampled into a point cloud
 (mesh_to_pc.py:51). Marching tetrahedra is table-light and fully
 vectorizable in NumPy, and produces a closed surface for any scalar
-field; orientation consistency is restored downstream by
-postprocess.fix_normals.
-"""
+field.
+
+Orientation: every emitted triangle is wound so its normal points from
+the inside region (field > level) toward the outside, checked
+vectorially against the tetrahedron's inside-corner centroid at
+emission time. The surface is therefore consistently outward-oriented
+by construction — matching skimage's gradient-oriented output — and
+needs NO downstream BFS repair (the round-1 fix_normals pass on a 128^3
+isosurface was a multi-minute pure-Python trap)."""
 from __future__ import annotations
 
 import numpy as np
@@ -59,6 +65,12 @@ def marching_tetrahedra(field: np.ndarray, level: float):
     nx, ny, nz = f.shape
     cx, cy, cz = nx - 1, ny - 1, nz - 1
 
+    def gid_to_xyz(g):
+        z = g % nz
+        y = (g // nz) % ny
+        x = g // (nz * ny)
+        return np.stack([x, y, z], axis=-1).astype(np.float64)
+
     corners = np.arange(8)
     offs = np.stack([corners & 1, (corners >> 1) & 1, (corners >> 2) & 1], axis=-1)
 
@@ -90,12 +102,25 @@ def marching_tetrahedra(field: np.ndarray, level: float):
             m = np.nonzero(case == case_id)[0]
             if len(m) == 0:
                 continue
+            inside_corners = [i for i in range(4) if (case_id >> i) & 1]
+            centroid_in = gid_to_xyz(tg[m][:, inside_corners]).mean(axis=1)  # (M, 3)
             for tri in tris:
                 ga = np.stack([tg[m, a] for (a, b) in tri], axis=1)   # (M, 3)
                 gb = np.stack([tg[m, b] for (a, b) in tri], axis=1)
                 tt = np.stack(
                     [tv[m, a] / (tv[m, a] - tv[m, b]) for (a, b) in tri], axis=1
                 )
+                # orient outward: normal must point away from the inside
+                # corners' centroid
+                pa = gid_to_xyz(ga)
+                pb = gid_to_xyz(gb)
+                pts = pa + tt[..., None] * (pb - pa)                  # (M, 3, 3)
+                normal = np.cross(pts[:, 1] - pts[:, 0], pts[:, 2] - pts[:, 0])
+                outward = pts.mean(axis=1) - centroid_in
+                flip = np.einsum("ij,ij->i", normal, outward) < 0
+                ga[flip] = ga[flip][:, ::-1]
+                gb[flip] = gb[flip][:, ::-1]
+                tt[flip] = tt[flip][:, ::-1]
                 ga_blocks.append(ga)
                 gb_blocks.append(gb)
                 t_blocks.append(tt)
@@ -112,12 +137,6 @@ def marching_tetrahedra(field: np.ndarray, level: float):
 
     keys = lo * (nx * ny * nz) + hi
     uniq, first_idx, inv = np.unique(keys, return_index=True, return_inverse=True)
-
-    def gid_to_xyz(g):
-        z = g % nz
-        y = (g // nz) % ny
-        x = g // (nz * ny)
-        return np.stack([x, y, z], axis=-1).astype(np.float64)
 
     plo = gid_to_xyz(lo[first_idx])
     phi = gid_to_xyz(hi[first_idx])

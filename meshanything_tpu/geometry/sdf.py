@@ -181,7 +181,9 @@ def export_to_watertight(mesh: Mesh, octree_depth: int = 7) -> Mesh:
     verts = verts / (size - 1) * 2.0 - 1.0
     verts = verts / factor + center
 
-    from meshanything_tpu.geometry.postprocess import fix_normals
-
-    faces = fix_normals(verts, faces)
+    # marching_tetrahedra output is consistently outward-oriented by
+    # construction (like skimage's), so no normal repair is needed here —
+    # the reference doesn't fix normals on the marched shell either
+    # (mesh_to_pc.py:32-40), and a BFS over a 128^3 isosurface's ~1e5-1e6
+    # faces would dominate the whole --mc path.
     return Mesh(vertices=verts, faces=faces)
