@@ -23,26 +23,40 @@ from meshanything_tpu.models import shape_opt as opt_mod
 
 
 def estimate_kv_bytes(cfg: MeshAnythingConfig, batch: int, bucket: int = 512,
-                      int8: bool = False) -> int:
-    """Upper-bound KV-cache footprint for a generation batch."""
+                      int8: bool = False, extra_tokens: int = 0) -> int:
+    """Upper-bound KV-cache footprint for a generation batch.
+
+    extra_tokens: lookahead windows extend the cache by W slots."""
     c = cfg.cond_length
-    s_max = -(-(c + cfg.generate_length) // bucket) * bucket
+    s_max = -(-(c + cfg.generate_length + extra_tokens) // bucket) * bucket
     per_elem = 1 if int8 else 2
     o = cfg.opt
     return 2 * o.num_layers * batch * s_max * o.hidden_size * per_elem
 
 
+def param_tree_bytes(params) -> int:
+    """Actual device footprint of a parameter pytree."""
+    return sum(
+        x.size * jnp.dtype(x.dtype).itemsize for x in jax.tree_util.tree_leaves(params)
+    )
+
+
 def check_memory_budget(cfg: MeshAnythingConfig, batch: int, bucket: int = 512,
-                        attn: str = "auto", limit_bytes: int = 11 * 1024**3) -> None:
+                        attn: str = "auto", limit_bytes: int = 11 * 1024**3,
+                        param_bytes: Optional[int] = None,
+                        extra_tokens: int = 0) -> None:
     """Refuse configurations that would OOM-crash the TPU worker (an HBM
     overrun on this platform kills the worker for ~10 min rather than
     raising). Empirical v5e envelope: int8 B=16 / bf16 B=8 run; int8
     B=24 and B=32 both crash (PERF.md), so the default limit sits just
-    above the largest measured-good footprint."""
+    above the largest measured-good footprint.
+
+    param_bytes: measured param-tree size (param_tree_bytes); defaults
+    to the 350M-model bf16 slab if not supplied."""
     int8 = attn == "pallas_int8"
-    kv = estimate_kv_bytes(cfg, batch, bucket, int8)
-    weights = 350e6 * 2  # bf16 param slab
-    est = kv + int(weights) + (kv // 4)  # workspace headroom
+    kv = estimate_kv_bytes(cfg, batch, bucket, int8, extra_tokens)
+    weights = int(350e6 * 2) if param_bytes is None else param_bytes
+    est = kv + weights + (kv // 4)  # workspace headroom
     if est > limit_bytes:
         raise ValueError(
             f"estimated device footprint {est / 1e9:.1f} GB exceeds the "
@@ -77,11 +91,11 @@ class PhaseRunner:
             if lookahead > 0 and not sampling:
                 from meshanything_tpu.models.lookahead import generate_lookahead
 
-                la_attn = "pallas" if attn == "pallas_int8" else attn
+                # composes with attn="pallas_int8" (multi-query int8 kernel)
                 return generate_lookahead(
                     params["opt"], cfg.opt, cond,
                     max_new_tokens=cfg.generate_length,
-                    window=lookahead, bucket=bucket, attn=la_attn,
+                    window=lookahead, bucket=bucket, attn=attn,
                 )
             return opt_mod.generate(
                 params["opt"], cfg.opt, cond,
@@ -105,10 +119,11 @@ class PhaseRunner:
     def __call__(self, pc_normal: jax.Array, *, sampling: bool = False,
                  key: Optional[jax.Array] = None, timer=None):
         if jax.default_backend() == "tpu":
-            # lookahead always allocates the bf16 cache, so never apply
-            # the int8 halving to its estimate
-            guard_attn = "pallas" if self._lookahead > 0 else self.attn
-            check_memory_budget(self.cfg, pc_normal.shape[0], self.bucket, guard_attn)
+            check_memory_budget(
+                self.cfg, pc_normal.shape[0], self.bucket, self.attn,
+                param_bytes=param_tree_bytes(self.params),
+                extra_tokens=self._lookahead,
+            )
         if key is None:
             key = jax.random.PRNGKey(0)
 

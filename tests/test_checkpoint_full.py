@@ -141,3 +141,54 @@ def test_orbax_roundtrip(converted, tmp_path):
         jax.tree_util.tree_flatten_with_path(back)[0],
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=jax.tree_util.keystr(pa))
+
+
+def test_bettertransformer_fused_branch_matches_vanilla():
+    """Synthesize a BetterTransformer-fused NRD naming
+    (decoder.layer.{i}.in_proj_weight etc., as optimum saves after
+    to_bettertransformer — the format the shipped checkpoint uses,
+    meshanything.py:24) from the same underlying weights as the vanilla
+    HF naming, and assert both conversion branches produce identical
+    trees (round-1: this branch had zero coverage)."""
+    from meshanything_tpu.runtime.checkpoint import convert_nrd
+
+    sd = _build_reference_style_state_dict()
+    n = CFG.nrd
+
+    fused = {k: v for k, v in sd.items() if not k.startswith("tokenizer.decoder.")}
+    for i in range(n.num_layers):
+        src = f"tokenizer.decoder.layer.{i}."
+        dst = f"tokenizer.decoder.layer.{i}."
+        # optimum BertLayerBetterTransformer: in_proj = cat(q, k, v) rows
+        fused[dst + "in_proj_weight"] = np.concatenate([
+            sd[src + "attention.self.query.weight"],
+            sd[src + "attention.self.key.weight"],
+            sd[src + "attention.self.value.weight"],
+        ], axis=0)
+        fused[dst + "in_proj_bias"] = np.concatenate([
+            sd[src + "attention.self.query.bias"],
+            sd[src + "attention.self.key.bias"],
+            sd[src + "attention.self.value.bias"],
+        ])
+        fused[dst + "out_proj_weight"] = sd[src + "attention.output.dense.weight"]
+        fused[dst + "out_proj_bias"] = sd[src + "attention.output.dense.bias"]
+        fused[dst + "norm1_weight"] = sd[src + "attention.output.LayerNorm.weight"]
+        fused[dst + "norm1_bias"] = sd[src + "attention.output.LayerNorm.bias"]
+        fused[dst + "linear1_weight"] = sd[src + "intermediate.dense.weight"]
+        fused[dst + "linear1_bias"] = sd[src + "intermediate.dense.bias"]
+        fused[dst + "linear2_weight"] = sd[src + "output.dense.weight"]
+        fused[dst + "linear2_bias"] = sd[src + "output.dense.bias"]
+        fused[dst + "norm2_weight"] = sd[src + "output.LayerNorm.weight"]
+        fused[dst + "norm2_bias"] = sd[src + "output.LayerNorm.bias"]
+
+    vanilla_tree = convert_nrd(sd, n)
+    fused_tree = convert_nrd(fused, n)
+
+    import jax
+
+    va = jax.tree_util.tree_flatten_with_path(vanilla_tree)[0]
+    fu = jax.tree_util.tree_flatten_with_path(fused_tree)[0]
+    assert len(va) == len(fu)
+    for (pa, a), (pb, b) in zip(va, fu):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_array_equal(a, b, err_msg=jax.tree_util.keystr(pa))

@@ -24,3 +24,32 @@ def test_budget_rejects_worker_killers():
         check_memory_budget(cfg, 32, attn="pallas_int8")  # crashed the worker
     with pytest.raises(ValueError, match="exceeds"):
         check_memory_budget(cfg, 16)                      # bf16 B=16: 12 GB cache
+
+
+def test_budget_uses_measured_param_bytes():
+    """The guard must scale with the actual param tree, not a hardcoded
+    350M constant (round-1 weakness 9)."""
+    import jax
+    import numpy as np
+
+    from meshanything_tpu.config import small_test_config
+    from meshanything_tpu.models import meshanything as ma
+    from meshanything_tpu.runtime.phases import param_tree_bytes
+
+    cfg = small_test_config(n_max_triangles=2)
+    params = ma.init_meshanything_params(jax.random.PRNGKey(0), cfg)
+    pb = param_tree_bytes(params)
+    expected = sum(np.asarray(x).nbytes for x in jax.tree_util.tree_leaves(params))
+    assert pb == expected
+    # tiny model + tiny cache passes even under a tight budget
+    check_memory_budget(cfg, 4, bucket=16, param_bytes=pb, limit_bytes=10 * 1024**2)
+    # an enormous synthetic param slab alone trips the guard
+    with pytest.raises(ValueError, match="exceeds"):
+        check_memory_budget(cfg, 1, bucket=16, param_bytes=12 * 1024**3)
+
+
+def test_budget_lookahead_extends_cache_estimate():
+    cfg = MeshAnythingConfig()
+    base = estimate_kv_bytes(cfg, 1, bucket=512)
+    # +W tokens can cross a bucket boundary; never smaller
+    assert estimate_kv_bytes(cfg, 1, bucket=512, extra_tokens=512) > base
