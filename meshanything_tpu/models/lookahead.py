@@ -44,9 +44,21 @@ from meshanything_tpu.models.shape_opt import (
 class LookaheadState(NamedTuple):
     steps: jax.Array        # (B,) generated-token count per row
     tokens: jax.Array       # (B, gen_len + W) eos-prefilled buffer
-    kv: jax.Array           # (2, L, B, S, H*D)
+    kv: jax.Array           # (2, L, B, S, H*D) bf16 — or, in int8 mode,
+                            # a (values int8, scales (2,L,B,1,S) f32) tuple
     done: jax.Array         # (B,)
     window: jax.Array       # (B, W) w_0 = last confirmed, rest guesses
+
+
+def _quantize_rows(rows: jax.Array):
+    """Per-row symmetric int8: rows (..., H*D) -> (int8 rows, f32 scale
+    per row) — the same scheme as the single-token int8 decode path
+    (shape_opt._decode_step)."""
+    r32 = rows.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(r32), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(r32 / s), -127, 127).astype(jnp.int8)
+    return q, s
 
 
 def _window_step(params, cfg: ShapeOPTConfig, state: LookaheadState,
@@ -91,20 +103,57 @@ def _window_step(params, cfg: ShapeOPTConfig, state: LookaheadState,
             return jax.vmap(one)(cache_2l, rows, write_start)
 
         zero = jnp.zeros((), jnp.int32)
-        k_plane = jax.lax.dynamic_slice(
-            kv, (zero, layer_idx, zero, zero, zero), (1, 1, b, kv.shape[3], d_model)
-        )[0, 0]
-        v_plane = jax.lax.dynamic_slice(
-            kv, (jnp.ones((), jnp.int32), layer_idx, zero, zero, zero),
-            (1, 1, b, kv.shape[3], d_model),
-        )[0, 0]
-        k_plane = put(k_plane, k)
-        v_plane = put(v_plane, v)
-        kv = jax.lax.dynamic_update_slice(kv, k_plane[None, None], (zero, layer_idx, zero, zero, zero))
-        kv = jax.lax.dynamic_update_slice(kv, v_plane[None, None], (jnp.ones((), jnp.int32), layer_idx, zero, zero, zero))
+        one_ = jnp.ones((), jnp.int32)
+
+        def put_plane(buf, rows, kv_sel):
+            # buf: (2, L, B, S, HD); rows: (B, W, HD) (dtype of buf)
+            plane = jax.lax.dynamic_slice(
+                buf, (kv_sel, layer_idx, zero, zero, zero),
+                (1, 1, b, buf.shape[3], buf.shape[4]),
+            )[0, 0]
+            plane = put(plane, rows.astype(buf.dtype))
+            return jax.lax.dynamic_update_slice(
+                buf, plane[None, None], (kv_sel, layer_idx, zero, zero, zero)
+            )
+
+        if attn == "pallas_int8":
+            values, scales = kv
+            kq, ks_ = _quantize_rows(k)                   # (B,W,HD), (B,W,1)
+            vq, vs_ = _quantize_rows(v)
+            values = put_plane(values, kq, zero)
+            values = put_plane(values, vq, one_)
+
+            def put_scale(buf, svals, kv_sel):
+                # buf: (2, L, B, 1, S); svals: (B, W)
+                plane = jax.lax.dynamic_slice(
+                    buf, (kv_sel, layer_idx, zero, zero, zero),
+                    (1, 1, b, 1, buf.shape[4]),
+                )[0, 0]                                    # (B, 1, S)
+
+                def one_row(row_cache, row_vals, start):
+                    return jax.lax.dynamic_update_slice(row_cache, row_vals[None], (0, start))
+
+                plane = jax.vmap(one_row)(plane, svals, write_start)
+                return jax.lax.dynamic_update_slice(
+                    buf, plane[None, None], (kv_sel, layer_idx, zero, zero, zero)
+                )
+
+            scales = put_scale(scales, ks_[..., 0], zero)
+            scales = put_scale(scales, vs_[..., 0], one_)
+            kv = (values, scales)
+        else:
+            kv = put_plane(kv, k, zero)
+            kv = put_plane(kv, v, one_)
 
         qh = q.reshape(b, w, h, hd)
-        if attn == "pallas":
+        if attn == "pallas_int8":
+            from meshanything_tpu.ops.decode_attention import decode_attention_mq_int8_impl
+
+            o = decode_attention_mq_int8_impl(
+                qh, kv[0], kv[1], layer_idx, write_start,
+                chunk=chunk, interpret=interpret,
+            ).astype(x.dtype)
+        elif attn == "pallas":
             from meshanything_tpu.ops.decode_attention import decode_attention_mq_impl
 
             # query i of row r sees write_start[r] + i + 1 rows
@@ -213,12 +262,24 @@ def generate_lookahead(
     in the module docstring). Returns (B, max_new_tokens)."""
     if attn == "auto":
         attn = "pallas" if jax.default_backend() == "tpu" else "xla"
-    interpret = attn == "pallas" and jax.default_backend() != "tpu"
+    interpret = attn.startswith("pallas") and jax.default_backend() != "tpu"
     b, c, _ = cond_embeds.shape
     w = window
     s_max = -(-(c + max_new_tokens + w) // bucket) * bucket
 
-    logits0, kv = prefill(params, cfg, cond_embeds, s_max)
+    if attn == "pallas_int8":
+        # quantize the compact condition-length cache, THEN pad (same
+        # order as shape_opt.generate — padding bf16 first would
+        # materialize the full-length bf16 buffer)
+        logits0, kv_c = prefill(params, cfg, cond_embeds, c)
+        kq, s_rows = _quantize_rows(kv_c)                  # (..., C, HD), (..., C, 1)
+        values = jnp.pad(kq, ((0, 0), (0, 0), (0, 0), (0, s_max - c), (0, 0)))
+        scales = jnp.transpose(s_rows, (0, 1, 2, 4, 3))    # (2, L, B, 1, C)
+        scales = jnp.pad(scales, ((0, 0), (0, 0), (0, 0), (0, 0), (0, s_max - c)),
+                         constant_values=1.0)
+        kv = (values, scales)
+    else:
+        logits0, kv = prefill(params, cfg, cond_embeds, s_max)
     first = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
 
     tokens = jnp.full((b, max_new_tokens + w), cfg.eos_token_id, jnp.int32)
@@ -233,7 +294,7 @@ def generate_lookahead(
         ),
     )
 
-    if attn == "pallas":
+    if attn.startswith("pallas"):
         # the kernel streams per-row live context — one loop, no buckets
         def cond_fn(st):
             live = (st.steps < max_new_tokens) & ~st.done
@@ -241,7 +302,7 @@ def generate_lookahead(
 
         state = jax.lax.while_loop(
             cond_fn,
-            lambda st: _window_step(params, cfg, st, w, s_max, attn="pallas",
+            lambda st: _window_step(params, cfg, st, w, s_max, attn=attn,
                                     chunk=bucket, interpret=interpret,
                                     max_new_tokens=max_new_tokens),
             state,

@@ -105,13 +105,12 @@ def generate(
     if lookahead > 0 and not sampling:
         from meshanything_tpu.models.lookahead import generate_lookahead
 
-        # lookahead's cache is always bf16; map the int8 request to the
-        # exact pallas path rather than silently mixing modes
-        la_attn = "pallas" if attn == "pallas_int8" else attn
+        # composes with attn="pallas_int8": lookahead windows over the
+        # quantized cache (decode_attention_mq_int8_impl)
         raw = generate_lookahead(
             params["opt"], cfg.opt, cond,
             max_new_tokens=cfg.generate_length,
-            window=lookahead, bucket=bucket, attn=la_attn,
+            window=lookahead, bucket=bucket, attn=attn,
         )
     else:
         raw = opt_mod.generate(

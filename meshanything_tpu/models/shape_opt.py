@@ -271,31 +271,6 @@ def _opt_layer_decode(cfg: ShapeOPTConfig, kv_slice_len: int, attn: str = "xla",
         d_model = h * hd
         residual = x
 
-        if attn == "pallas_fused":
-            from meshanything_tpu.ops.fused_attention_layer import (
-                fused_attention_layer_impl,
-            )
-
-            o_row, k_vec, v_vec = fused_attention_layer_impl(
-                x[:, 0], p["qkv"]["w"], p["qkv"]["b"],
-                p["out"]["w"], p["out"]["b"], kv, layer_idx, write_pos,
-                num_heads=h, chunk=chunk, interpret=interpret,
-            )
-            zero = jnp.zeros((), jnp.int32)
-            one = jnp.ones((), jnp.int32)
-            k_row = k_vec.reshape(b, 1, d_model)[None, None]
-            v_row = v_vec.reshape(b, 1, d_model)[None, None]
-            kv = jax.lax.dynamic_update_slice(kv, k_row, (zero, layer_idx, zero, write_pos, zero))
-            kv = jax.lax.dynamic_update_slice(kv, v_row, (one, layer_idx, zero, write_pos, zero))
-
-            x = residual + o_row[:, None].astype(x.dtype)
-            x = layer_norm(x, p["ln_attn"]["scale"], p["ln_attn"]["bias"], cfg.ln_eps)
-            residual = x
-            x2 = jax.nn.relu(linear(x, p["fc1"]["w"], p["fc1"]["b"]))
-            x = residual + linear(x2, p["fc2"]["w"], p["fc2"]["b"])
-            x = layer_norm(x, p["ln_ffn"]["scale"], p["ln_ffn"]["bias"], cfg.ln_eps)
-            return (x, kv, write_pos), None
-
         qkv = linear(x, p["qkv"]["w"], p["qkv"]["b"])
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, 1, h, hd)

@@ -73,3 +73,35 @@ def test_lookahead_pallas_interpret_matches_plain(rng):
         eos = np.where(plain[row] == CFG.eos_token_id)[0]
         limit = (eos[0] + 1) if len(eos) else 16
         np.testing.assert_array_equal(look_p[row, :limit], plain[row, :limit], err_msg=f"row={row}")
+
+
+def test_lookahead_int8_matches_single_token_int8(rng):
+    """int8 + lookahead (r2: the two accelerators must compose).
+
+    Oracle: the single-token int8 decode path — both quantize each KV
+    row with the same per-row symmetric scheme, so in f32 their token
+    streams should agree."""
+    params = sopt.init_shape_opt_params(jax.random.PRNGKey(3), CFG)
+    cond = jnp.asarray(rng.normal(size=(2, CFG.cond_length, CFG.hidden_size)).astype(np.float32) * 0.5)
+    plain_i8 = np.asarray(sopt.generate(
+        params, CFG, cond, max_new_tokens=16, bucket=16, attn="pallas_int8"))
+    look_i8 = np.asarray(generate_lookahead(
+        params, CFG, cond, max_new_tokens=16, window=4, bucket=16, attn="pallas_int8"))
+    for row in range(2):
+        eos = np.where(plain_i8[row] == CFG.eos_token_id)[0]
+        limit = (eos[0] + 1) if len(eos) else 16
+        np.testing.assert_array_equal(look_i8[row, :limit], plain_i8[row, :limit], err_msg=f"row={row}")
+
+
+def test_meshanything_generate_int8_lookahead_composes(rng):
+    """meshanything.generate must no longer downgrade pallas_int8 under
+    lookahead (round-1 weakness 3)."""
+    from meshanything_tpu.config import small_test_config
+    from meshanything_tpu.models import meshanything as ma
+
+    cfg = small_test_config(n_max_triangles=2)
+    params = ma.init_meshanything_params(jax.random.PRNGKey(0), cfg)
+    pc = jnp.asarray(rng.normal(size=(1, cfg.perceiver.num_points, 6)).astype(np.float32) * 0.5)
+    out = ma.generate(params, cfg, pc, lookahead=4, attn="pallas_int8", bucket=16)
+    assert out.token_ids.shape == (1, cfg.generate_length)
+    assert out.face_coords.shape == (1, cfg.n_max_triangles, 3, 3)

@@ -84,3 +84,66 @@ def test_decode_attention_mq_interpret_matches_window_math(rng):
                 ref[b, w] = np.einsum("hs,shd->hd", p, v[b, :cur])
         np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-4,
                                    err_msg=f"layer={layer}")
+
+
+def test_decode_attention_int8_interpret_close_to_exact(rng):
+    """int8 single-query vs the exact reference on the same (dequantized)
+    content: quantization is the only error source."""
+    from meshanything_tpu.ops.decode_attention import decode_attention_int8_impl
+
+    B, H, D, S, L = 2, 4, 64, 256, 2
+    q = jnp.asarray(rng.normal(size=(B, H, D)).astype(np.float32))
+    kv = rng.normal(size=(2, L, B, S, H * D)).astype(np.float32) * 0.3
+    amax = np.abs(kv).max(-1, keepdims=True)
+    scales = np.maximum(amax, 1e-8) / 127.0
+    values = np.clip(np.round(kv / scales), -127, 127).astype(np.int8)
+    scales_t = np.transpose(scales, (0, 1, 2, 4, 3))  # (2, L, B, 1, S)
+    dequant = values.astype(np.float32) * scales
+
+    for layer in (0, 1):
+        for cur in (3, 127, 200):
+            out = decode_attention_int8_impl(
+                q, jnp.asarray(values), jnp.asarray(scales_t), layer, cur,
+                chunk=128, interpret=True,
+            )
+            ref = decode_attention_reference(q, jnp.asarray(dequant), layer, cur)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-5, rtol=1e-4,
+                                       err_msg=f"layer={layer} cur={cur}")
+
+
+def test_decode_attention_mq_int8_interpret(rng):
+    """int8 + multi-query (the lookahead-over-quantized-cache path) vs
+    per-query masked attention over the dequantized cache."""
+    import math
+
+    from meshanything_tpu.ops.decode_attention import decode_attention_mq_int8_impl
+
+    B, W, H, D, S, L = 2, 4, 4, 64, 256, 2
+    q = jnp.asarray(rng.normal(size=(B, W, H, D)).astype(np.float32))
+    kv = rng.normal(size=(2, L, B, S, H * D)).astype(np.float32) * 0.3
+    amax = np.abs(kv).max(-1, keepdims=True)
+    scales = np.maximum(amax, 1e-8) / 127.0
+    values = np.clip(np.round(kv / scales), -127, 127).astype(np.int8)
+    scales_t = np.transpose(scales, (0, 1, 2, 4, 3))
+    dequant = values.astype(np.float32) * scales
+    base = jnp.asarray([100, 37], jnp.int32)
+
+    for layer in (0, 1):
+        out = decode_attention_mq_int8_impl(
+            q, jnp.asarray(values), jnp.asarray(scales_t), layer, base,
+            chunk=128, interpret=True,
+        )
+        k = dequant[0, layer].reshape(B, S, H, D)
+        v = dequant[1, layer].reshape(B, S, H, D)
+        scale = 1.0 / math.sqrt(D)
+        ref = np.zeros((B, W, H, D), np.float32)
+        for b in range(B):
+            for w in range(W):
+                cur = int(base[b]) + w + 1
+                logits = np.einsum("hd,shd->hs", np.asarray(q[b, w]) * scale, k[b, :cur])
+                p = np.exp(logits - logits.max(-1, keepdims=True))
+                p /= p.sum(-1, keepdims=True)
+                ref[b, w] = np.einsum("hs,shd->hd", p, v[b, :cur])
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-4,
+                                   err_msg=f"layer={layer}")
