@@ -17,7 +17,8 @@ import numpy as np
 class Mesh:
     vertices: np.ndarray  # (V, 3) float64
     faces: np.ndarray     # (F, 3) int64 (triangulated)
-    face_colors: Optional[np.ndarray] = None  # (F, 4) uint8
+    face_colors: Optional[np.ndarray] = None    # (F, 4) uint8
+    vertex_colors: Optional[np.ndarray] = None  # (V, 4) uint8
 
     @property
     def face_normals(self) -> np.ndarray:
@@ -150,12 +151,13 @@ def load_mesh(path: str) -> Mesh:
 
 
 def save_obj(mesh: Mesh, path: str) -> None:
-    """Export OBJ with optional per-face colors.
+    """Export OBJ with optional colors.
 
-    The reference exports via trimesh with face colors (main.py:170-174);
-    trimesh writes face colors into OBJ as per-vertex 'v x y z r g b'
-    extensions only for vertex colors, so for parity of *geometry* we write
-    plain v/f records; colors go to a sidecar .mtl-free comment header.
+    The reference exports via trimesh (main.py:170-174; app.py:116-127,
+    144-171 sets orange vertex colors); trimesh writes vertex colors into
+    OBJ as the 'v x y z r g b' extension (0-1 floats) — replicated here
+    when vertex_colors is set. Face colors have no OBJ record; they go to
+    a comment header.
     """
     v = np.asarray(mesh.vertices, dtype=np.float64)
     f = np.asarray(mesh.faces, dtype=np.int64)
@@ -163,8 +165,15 @@ def save_obj(mesh: Mesh, path: str) -> None:
     if mesh.face_colors is not None and len(mesh.face_colors):
         c = np.asarray(mesh.face_colors[0], dtype=np.int64)
         lines.append(f"# face_color {c[0]} {c[1]} {c[2]} {c[3]}")
-    for p in v:
-        lines.append(f"v {p[0]:.8f} {p[1]:.8f} {p[2]:.8f}")
+    if mesh.vertex_colors is not None and len(mesh.vertex_colors):
+        vc = np.asarray(mesh.vertex_colors, dtype=np.float64)[:, :3] / 255.0
+        for p, c in zip(v, vc):
+            lines.append(
+                f"v {p[0]:.8f} {p[1]:.8f} {p[2]:.8f} {c[0]:.4f} {c[1]:.4f} {c[2]:.4f}"
+            )
+    else:
+        for p in v:
+            lines.append(f"v {p[0]:.8f} {p[1]:.8f} {p[2]:.8f}")
     for tri in f + 1:
         lines.append(f"f {tri[0]} {tri[1]} {tri[2]}")
     with open(path, "w") as fh:

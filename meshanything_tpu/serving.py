@@ -1,18 +1,30 @@
 """Serving layer: the app.py equivalent (reference app.py:1-270).
 
 Two frontends over one ServingEngine:
-  * gradio Blocks UI when gradio is installed (same controls as the
+  * gradio Blocks UI when gradio is installed — same surface as the
     reference: 3D upload, seed, sampling checkbox, marching-cubes
-    checkbox, preview renders);
+    checkbox, processed-input + generated-mesh OBJ viewers, wireframe
+    preview renders of both, and an examples gallery (app.py:217-269);
   * a dependency-free stdlib HTTP server (this image has no gradio):
     GET / serves a minimal upload form, POST /generate accepts an OBJ
-    body and returns the generated OBJ.
+    body and returns the generated OBJ — or, with
+    ``Accept: application/json``, a JSON document carrying both OBJ
+    artifacts and both wireframe renders (base64 PNG), mirroring the
+    reference do_inference's four outputs (app.py:172).
+
+Per-request flow mirrors app.py:95-172: optional marching-cubes
+watertighting, 4096-point sampling, mesh-bbox normalization of both
+mesh and pc, input-mesh cleanup (merge/unique/fix_normals) with orange
+vertex colors and a timestamped ``processed_input_*.obj`` export, then
+generation, output cleanup with orange vertex + brown face colors and a
+timestamped ``output_*.obj`` export, and wireframe renders of both.
 
 Normalization follows the *app* variant (mesh-bbox, app.py:108-114),
 which differs from the CLI's pc-bbox variant (main.py:51-53).
 """
 from __future__ import annotations
 
+import base64
 import json
 import os
 import tempfile
@@ -20,12 +32,15 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
+ORANGE = np.array([255, 165, 0, 255], dtype=np.uint8)   # app.py:120
+BROWN = np.array([165, 42, 42, 255], dtype=np.uint8)    # app.py:165
+
 
 class ServingEngine:
     """Load-once model + per-request generation (app.py:16-25,95-174)."""
 
     def __init__(self, params, cfg, *, bucket: int = 512, attn: str = "auto",
-                 lookahead: int = 0):
+                 lookahead: int = 0, artifacts_dir: str | None = None):
         import jax
 
         from meshanything_tpu.runtime.phases import PhaseRunner
@@ -33,6 +48,7 @@ class ServingEngine:
         self.cfg = cfg
         self.params = params
         self._jax = jax
+        self.artifacts_dir = artifacts_dir or tempfile.mkdtemp(prefix="meshanything_")
 
         runner = PhaseRunner(params, cfg, bucket=bucket, attn=attn,
                              lookahead=lookahead)
@@ -47,11 +63,18 @@ class ServingEngine:
         seed: int = 0,
         do_sampling: bool = False,
         do_marching_cubes: bool = False,
+        export_artifacts: bool = True,
     ):
         from meshanything_tpu.geometry import (
             Mesh,
             faces_to_mesh,
             normalize_mesh_app,
+            save_obj,
+        )
+        from meshanything_tpu.geometry.postprocess import (
+            fix_normals,
+            merge_vertices,
+            remove_degenerate_and_duplicate_faces,
         )
         from meshanything_tpu.geometry.sample import sample_surface_with_normals
 
@@ -63,10 +86,20 @@ class ServingEngine:
             mesh = export_to_watertight(mesh)
 
         rng = np.random.default_rng(seed)
-        pc = sample_surface_with_normals(mesh.vertices, mesh.faces, 4096, rng)
+        pc = sample_surface_with_normals(
+            mesh.vertices, mesh.faces, self.cfg.perceiver.num_points, rng
+        )
 
         # app normalization: mesh bbox for both mesh and pc (app.py:108-114)
-        _, pc_coor = normalize_mesh_app(mesh.vertices, pc[:, :3].astype(np.float64))
+        norm_vertices, pc_coor = normalize_mesh_app(mesh.vertices, pc[:, :3].astype(np.float64))
+
+        # processed-input cleanup + orange vertex colors (app.py:116-127)
+        in_v, in_f = merge_vertices(norm_vertices, mesh.faces)
+        in_f = remove_degenerate_and_duplicate_faces(in_f)
+        in_f = fix_normals(in_v, in_f)
+        input_mesh = Mesh(in_v, in_f,
+                          vertex_colors=np.tile(ORANGE, (len(in_v), 1)))
+
         normals = pc[:, 3:].astype(np.float64)
         norms = np.linalg.norm(normals, axis=-1)
         if not (norms > 0.99).all():
@@ -79,13 +112,40 @@ class ServingEngine:
         out = fn(self.params, np.asarray(pc_normal, np.float32)[None], key)
         coords = np.asarray(out.face_coords.astype(np.float32))[0]
 
-        gen_mesh = faces_to_mesh(coords)
-        return {
+        # output cleanup + orange vertex / brown face colors (app.py:144-168)
+        gen_mesh = faces_to_mesh(coords, face_colors=BROWN)
+        gen_mesh.vertex_colors = np.tile(ORANGE, (len(gen_mesh.vertices), 1))
+
+        result = {
             "mesh": gen_mesh,
+            "input_mesh": input_mesh,
             "faces_generated": int(np.sum(~np.isnan(coords[:, 0, 0]))),
             "faces_final": len(gen_mesh.faces),
-            "latency_s": time.time() - t0,
         }
+
+        if export_artifacts:
+            from meshanything_tpu.runtime.render import wireframe_render
+
+            ts = int(time.time())
+            os.makedirs(self.artifacts_dir, exist_ok=True)
+
+            def apath(name):
+                return os.path.join(self.artifacts_dir, name)
+
+            # timestamped exports to dodge client caches (app.py:125,169)
+            result["input_obj_path"] = apath(f"processed_input_{ts}.obj")
+            save_obj(input_mesh, result["input_obj_path"])
+            result["input_render_path"] = wireframe_render(
+                input_mesh.vertices, input_mesh.faces,
+                apath(f"combined_mesh_view_input_{ts}.png"))
+            result["output_obj_path"] = apath(f"output_{ts}.obj")
+            save_obj(gen_mesh, result["output_obj_path"])
+            result["output_render_path"] = wireframe_render(
+                gen_mesh.vertices, gen_mesh.faces,
+                apath(f"combined_mesh_view_output_{ts}.png"))
+
+        result["latency_s"] = time.time() - t0
+        return result
 
 
 _FORM = b"""<!doctype html><title>MeshAnything-TPU</title>
@@ -126,6 +186,7 @@ def _make_handler(engine: ServingEngine):
                 seed = int(self.headers.get("X-Seed", "0"))
                 sampling = self.headers.get("X-Sampling", "0") == "1"
                 mc = self.headers.get("X-MC", "0") == "1"
+                want_json = "application/json" in (self.headers.get("Accept") or "")
 
                 # body is a raw OBJ (API mode). multipart form uploads also
                 # land here; extract the file part if present.
@@ -140,7 +201,7 @@ def _make_handler(engine: ServingEngine):
                 with tempfile.NamedTemporaryFile(suffix=".obj", delete=False) as fh:
                     fh.write(body)
                     path = fh.name
-                from meshanything_tpu.geometry import load_mesh, save_obj
+                from meshanything_tpu.geometry import load_mesh
 
                 mesh = load_mesh(path)
                 os.unlink(path)
@@ -148,18 +209,41 @@ def _make_handler(engine: ServingEngine):
                     mesh.vertices, mesh.faces,
                     seed=seed, do_sampling=sampling, do_marching_cubes=mc,
                 )
-                with tempfile.NamedTemporaryFile(mode="r", suffix=".obj", delete=False) as out_fh:
-                    out_path = out_fh.name
-                save_obj(result["mesh"], out_path)
-                with open(out_path) as fh2:
-                    obj_text = fh2.read()
-                os.unlink(out_path)
 
+                def read_text(p):
+                    with open(p) as fh2:
+                        return fh2.read()
+
+                def read_b64(p):
+                    with open(p, "rb") as fh2:
+                        return base64.b64encode(fh2.read()).decode()
+
+                if want_json:
+                    # the reference do_inference's four outputs (app.py:172)
+                    payload = {
+                        "output_obj": read_text(result["output_obj_path"]),
+                        "input_obj": read_text(result["input_obj_path"]),
+                        "output_render_png_b64": read_b64(result["output_render_path"]),
+                        "input_render_png_b64": read_b64(result["input_render_path"]),
+                        "faces_generated": result["faces_generated"],
+                        "faces_final": result["faces_final"],
+                        "latency_s": result["latency_s"],
+                    }
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.end_headers()
+                    self.wfile.write(json.dumps(payload).encode())
+                    return
+
+                obj_text = read_text(result["output_obj_path"])
                 self.send_response(200)
                 self.send_header("Content-Type", "model/obj")
                 self.send_header("X-Faces-Generated", str(result["faces_generated"]))
                 self.send_header("X-Faces-Final", str(result["faces_final"]))
                 self.send_header("X-Latency-S", f"{result['latency_s']:.3f}")
+                self.send_header("X-Input-Obj", result["input_obj_path"])
+                self.send_header("X-Input-Render", result["input_render_path"])
+                self.send_header("X-Output-Render", result["output_render_path"])
                 self.end_headers()
                 self.wfile.write(obj_text.encode())
             except Exception as e:  # surface errors to the client
@@ -177,12 +261,14 @@ def serve_http(engine: ServingEngine, host: str = "127.0.0.1", port: int = 7860)
     server.serve_forever()
 
 
-def serve_gradio(engine: ServingEngine, **launch_kwargs):
-    """Gradio Blocks UI mirroring the reference app (app.py:217-269)."""
+def serve_gradio(engine: ServingEngine, examples_dir: str | None = None, **launch_kwargs):
+    """Gradio Blocks UI mirroring the reference app (app.py:217-269):
+    processed-input + generated OBJ viewers, wireframe renders of both,
+    MC/sampling/seed controls, and an examples gallery."""
     import gradio as gr
 
     def do_inference(input_3d, sample_seed=0, do_sampling=False, do_marching_cubes=False):
-        from meshanything_tpu.geometry import load_mesh, save_obj
+        from meshanything_tpu.geometry import load_mesh
 
         mesh = load_mesh(input_3d)
         result = engine.generate_from_mesh(
@@ -190,26 +276,56 @@ def serve_gradio(engine: ServingEngine, **launch_kwargs):
             seed=int(sample_seed), do_sampling=do_sampling,
             do_marching_cubes=do_marching_cubes,
         )
-        out_path = os.path.join(tempfile.gettempdir(), f"gen_{int(time.time())}.obj")
-        save_obj(result["mesh"], out_path)
-        return out_path
+        return (result["input_obj_path"], result["input_render_path"],
+                result["output_obj_path"], result["output_render_path"])
+
+    if examples_dir is None and os.path.isdir("examples"):
+        examples_dir = "examples"
 
     with gr.Blocks() as demo:
-        gr.Markdown("# MeshAnything-TPU")
-        with gr.Row():
-            input_3d = gr.Model3D(label="Input mesh")
-            output_3d = gr.Model3D(label="Generated mesh")
-        seed = gr.Number(value=0, label="seed")
-        sampling = gr.Checkbox(label="sampling")
-        mc = gr.Checkbox(label="marching cubes preprocessing")
-        submit = gr.Button("Generate")
-        submit.click(do_inference, [input_3d, seed, sampling, mc], [output_3d])
+        gr.Markdown(
+            "# MeshAnything-TPU\n"
+            "Point-cloud-conditioned artist-mesh generation, TPU-native. "
+            "Upload a mesh; it is normalized to a unit bounding box "
+            "(+Y up works best). Enable marching-cubes preprocessing for "
+            "manually-modeled inputs. The model caps generation at "
+            f"{engine.cfg.n_max_triangles} faces."
+        )
+        with gr.Row(variant="panel"):
+            with gr.Column():
+                input_3d = gr.Model3D(label="Input Mesh", clear_color=[1, 1, 1, 1])
+                with gr.Group():
+                    mc = gr.Checkbox(label="Preprocess with Marching Cubes", value=False)
+                    sampling = gr.Checkbox(label="Random Sampling", value=False)
+                    seed = gr.Number(value=0, label="Seed Value", precision=0)
+                submit = gr.Button("Generate", variant="primary")
+                if examples_dir and os.path.isdir(examples_dir):
+                    example_files = [
+                        os.path.join(examples_dir, n)
+                        for n in sorted(os.listdir(examples_dir))
+                    ]
+                else:
+                    example_files = []
+            with gr.Column():
+                input_image_render = gr.Image(label="Wireframe Render of Processed Input Mesh")
+                preprocess_model_obj = gr.Model3D(
+                    label="Processed Input Mesh (OBJ Format)", clear_color=[1, 1, 1, 1])
+                output_image_render = gr.Image(label="Wireframe Render of Generated Mesh")
+                output_model_obj = gr.Model3D(
+                    label="Generated Mesh (OBJ Format)", clear_color=[1, 1, 1, 1])
+                gr.Markdown("Try random sampling with different seed values "
+                            "if the result is unsatisfying.")
+        outputs = [preprocess_model_obj, input_image_render,
+                   output_model_obj, output_image_render]
+        if example_files:
+            gr.Examples(examples=example_files, inputs=input_3d, outputs=outputs,
+                        fn=do_inference, cache_examples=False, examples_per_page=10)
+        submit.click(fn=do_inference, inputs=[input_3d, seed, sampling, mc],
+                     outputs=outputs)
     demo.launch(**launch_kwargs)
 
 
 def main(argv=None):
-    import argparse
-
     from meshanything_tpu.cli import build_config, get_args, load_params
     from meshanything_tpu.runtime.compile_cache import enable as enable_compile_cache
 

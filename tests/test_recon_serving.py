@@ -1,4 +1,6 @@
 """VAE reconstruction path + serving engine tests (CPU, small config)."""
+import json
+import os
 import threading
 import urllib.request
 
@@ -40,56 +42,44 @@ def test_extract_geometry_runs(rng):
         assert meshes[0].vertices.shape[1] == 3
 
 
-def test_serving_http_roundtrip(tmp_path, rng):
-    from meshanything_tpu.serving import ServingEngine, _make_handler
+def _cube_obj_bytes(tmp_path):
     from meshanything_tpu.geometry import Mesh, save_obj
+
+    v = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                  [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], float)
+    f = np.array([[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7], [0, 1, 5], [0, 5, 4],
+                  [2, 3, 7], [2, 7, 6], [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]])
+    obj_path = tmp_path / "cube.obj"
+    save_obj(Mesh(v, f), str(obj_path))
+    return obj_path.read_bytes()
+
+
+def test_serving_http_roundtrip(tmp_path, rng):
+    """HTTP e2e against the REAL generate_from_mesh (small config): raw
+    OBJ response with artifact headers, JSON response carrying both OBJ
+    artifacts and both wireframe preview renders (app.py:172 parity),
+    and the error path."""
+    import base64
+
+    from meshanything_tpu.serving import ServingEngine, _make_handler
     from http.server import ThreadingHTTPServer
 
     cfg = small_test_config(n_max_triangles=2)
     params = ma.init_meshanything_params(jax.random.PRNGKey(0), cfg)
-    engine = ServingEngine(params, cfg, bucket=16)
-    # patch sampling count to the test config's point budget
-    import meshanything_tpu.serving as srv
+    engine = ServingEngine(params, cfg, bucket=16, artifacts_dir=str(tmp_path / "artifacts"))
 
-    orig = srv.ServingEngine.generate_from_mesh
-
-    def patched(self, vertices, faces, **kw):
-        from meshanything_tpu.geometry.sample import sample_surface_with_normals
-        from meshanything_tpu.geometry import normalize_mesh_app, faces_to_mesh
-        import time as _t
-
-        t0 = _t.time()
-        rng_l = np.random.default_rng(kw.get("seed", 0))
-        pc = sample_surface_with_normals(vertices, faces, cfg.perceiver.num_points, rng_l)
-        _, pc_coor = normalize_mesh_app(vertices, pc[:, :3].astype(np.float64))
-        normals = pc[:, 3:].astype(np.float64)
-        pc_normal = np.concatenate([pc_coor, normals], -1).astype(np.float32)
-        out = ma.generate(params, cfg, jnp.asarray(pc_normal)[None], bucket=16)
-        coords = np.asarray(out.face_coords.astype(jnp.float32))[0]
-        mesh = faces_to_mesh(coords)
-        return {"mesh": mesh, "faces_generated": int(np.sum(~np.isnan(coords[:, 0, 0]))),
-                "faces_final": len(mesh.faces), "latency_s": _t.time() - t0}
-
-    srv.ServingEngine.generate_from_mesh = patched
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(engine))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
     try:
-        server = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(engine))
-        port = server.server_address[1]
-        t = threading.Thread(target=server.serve_forever, daemon=True)
-        t.start()
-
         # health
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as r:
             assert r.read() == b"ok"
 
-        # generate from a cube OBJ
-        v = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
-                      [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], float)
-        f = np.array([[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7], [0, 1, 5], [0, 5, 4],
-                      [2, 3, 7], [2, 7, 6], [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]])
-        obj_path = tmp_path / "cube.obj"
-        save_obj(Mesh(v, f), str(obj_path))
-        body = obj_path.read_bytes()
+        body = _cube_obj_bytes(tmp_path)
 
+        # raw OBJ mode + artifact headers
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/generate", data=body, method="POST",
             headers={"X-Seed": "0"},
@@ -97,8 +87,27 @@ def test_serving_http_roundtrip(tmp_path, rng):
         with urllib.request.urlopen(req) as r:
             assert r.status == 200
             assert "X-Faces-Generated" in r.headers
+            for h in ("X-Input-Obj", "X-Input-Render", "X-Output-Render"):
+                assert os.path.exists(r.headers[h]), h
             text = r.read().decode()
             assert text.startswith("#") or text.startswith("v") or text.strip() == ""
+
+        # JSON mode: both OBJs + both preview PNGs inline
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=body, method="POST",
+            headers={"X-Seed": "0", "Accept": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            payload = json.loads(r.read())
+        assert payload["input_obj"].startswith("v ")
+        # orange vertex colors ride the OBJ vertex lines (app.py:120)
+        assert payload["input_obj"].splitlines()[0].count(" ") == 6
+        assert payload["output_obj"] is not None
+        for k in ("input_render_png_b64", "output_render_png_b64"):
+            png = base64.b64decode(payload[k])
+            assert png[:8] == b"\x89PNG\r\n\x1a\n", k
+        assert payload["faces_final"] >= 0
 
         # error path: garbage body
         req = urllib.request.Request(
@@ -108,6 +117,31 @@ def test_serving_http_roundtrip(tmp_path, rng):
             urllib.request.urlopen(req)
         except urllib.error.HTTPError as e:
             assert e.code == 400
-        server.shutdown()
     finally:
-        srv.ServingEngine.generate_from_mesh = orig
+        server.shutdown()
+
+
+def test_engine_exports_timestamped_artifacts(tmp_path, rng):
+    """generate_from_mesh writes processed_input_*.obj / output_*.obj +
+    wireframe renders (reference app.py:116-127,144-172)."""
+    from meshanything_tpu.serving import ServingEngine
+
+    cfg = small_test_config(n_max_triangles=2)
+    params = ma.init_meshanything_params(jax.random.PRNGKey(0), cfg)
+    engine = ServingEngine(params, cfg, bucket=16, artifacts_dir=str(tmp_path / "a"))
+
+    v = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                  [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], float)
+    f = np.array([[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7], [0, 1, 5], [0, 5, 4],
+                  [2, 3, 7], [2, 7, 6], [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]])
+    result = engine.generate_from_mesh(v, f, seed=0)
+    assert os.path.basename(result["input_obj_path"]).startswith("processed_input_")
+    assert os.path.basename(result["output_obj_path"]).startswith("output_")
+    for k in ("input_obj_path", "output_obj_path", "input_render_path", "output_render_path"):
+        assert os.path.exists(result[k]), k
+    # input mesh normalized to the unit bbox and orange-colored
+    span = result["input_mesh"].vertices.max(0) - result["input_mesh"].vertices.min(0)
+    assert span.max() <= 1.0 + 1e-9
+    np.testing.assert_array_equal(result["input_mesh"].vertex_colors[0], [255, 165, 0, 255])
+    np.testing.assert_array_equal(result["mesh"].face_colors[0] if len(result["mesh"].faces) else [165, 42, 42, 255],
+                                  [165, 42, 42, 255])
