@@ -46,6 +46,10 @@ def get_args(argv=None):
     parser.add_argument("--attn", default="auto",
                         choices=["auto", "pallas", "pallas_int8", "xla"],
                         help="decode attention backend (pallas_int8 = fast int8 KV mode)")
+    parser.add_argument("--multihost", default=False, action="store_true",
+                        help="join the jax.distributed process group and shard "
+                             "folder inputs per host (no-op on one host) — the "
+                             "TPU-native accelerate-DDP equivalent (main.py:113-146)")
     parser.add_argument("--help", action="help")
 
     return parser.parse_args(argv)
@@ -113,6 +117,17 @@ def main(argv=None):
     args = get_args(argv)
     cfg = build_config(args)
 
+    process_index = 0
+    if args.multihost:
+        from meshanything_tpu.parallel.multihost import (
+            initialize_multihost,
+            process_info,
+        )
+
+        initialize_multihost()
+        process_index, process_count = process_info()
+        print(f"multihost: process {process_index}/{process_count}")
+
     cur_time = datetime.datetime.now().strftime("%d_%H-%M-%S")
     out_dir = os.path.join(args.out_dir, cur_time)
     os.makedirs(out_dir, exist_ok=True)
@@ -121,6 +136,10 @@ def main(argv=None):
 
     params = load_params(args, cfg)
     paths = collect_inputs(args)
+    if args.multihost:
+        from meshanything_tpu.parallel.multihost import shard_files_for_host
+
+        paths = shard_files_for_host(paths)
     samples = load_inputs(
         args.input_type, paths, marching_cubes=args.mc,
         num_points=cfg.perceiver.num_points, seed=args.seed,
@@ -140,7 +159,10 @@ def main(argv=None):
     print(f"Total time: {time.time() - begin}")
 
     if args.metrics_out:
-        write_metrics(results, args.metrics_out)
+        metrics_path = args.metrics_out
+        if args.multihost and process_index:
+            metrics_path = f"{metrics_path}.{process_index}"  # one file per host
+        write_metrics(results, metrics_path)
     return results
 
 

@@ -89,3 +89,61 @@ def test_dryrun_multichip_self_provisions():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun_multichip OK" in proc.stdout
+
+
+# ---------------------------------------------------------------------------
+# multi-host scaffolding (VERDICT r1 item 10)
+
+
+def test_shard_files_for_host_partition():
+    from meshanything_tpu.parallel.multihost import shard_files_for_host
+
+    paths = [f"f{i}.npy" for i in range(10)]
+    shards = [shard_files_for_host(paths, pi, 4) for pi in range(4)]
+    # exact partition: disjoint, complete, strided
+    flat = [p for s in shards for p in s]
+    assert sorted(flat) == sorted(paths)
+    assert shards[0] == ["f0.npy", "f4.npy", "f8.npy"]
+    assert shards[3] == ["f3.npy", "f7.npy"]
+    # single host: identity
+    assert shard_files_for_host(paths, 0, 1) == paths
+
+
+def test_initialize_multihost_single_host_noop(monkeypatch):
+    from meshanything_tpu.parallel.multihost import initialize_multihost, process_info
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    assert initialize_multihost() is False
+    assert process_info() == (0, 1)
+
+
+def test_cli_multihost_flag_parses_and_noops(tmp_path, rng):
+    """--multihost end-to-end on one host (small config, 2 inputs):
+    graceful no-op, all inputs processed."""
+    from meshanything_tpu import cli
+    import meshanything_tpu.cli as cli_mod
+
+    for i in range(2):
+        pts = rng.normal(size=(64, 3))
+        pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
+        arr = np.concatenate([pts * 0.5, pts], axis=1).astype(np.float16)
+        np.save(tmp_path / f"s{i}.npy", arr)
+
+    orig_build = cli_mod.build_config
+
+    def small_build(args):
+        from meshanything_tpu.config import small_test_config
+
+        return small_test_config(n_max_triangles=2)
+
+    cli_mod.build_config = small_build
+    try:
+        results = cli.main([
+            "--input_dir", str(tmp_path), "--input_type", "pc_normal",
+            "--out_dir", str(tmp_path / "out"), "--random_weights",
+            "--multihost", "--bucket", "16",
+        ])
+    finally:
+        cli_mod.build_config = orig_build
+    assert len(results) == 2
