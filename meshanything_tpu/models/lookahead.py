@@ -48,6 +48,7 @@ class LookaheadState(NamedTuple):
                             # a (values int8, scales (2,L,B,1,S) f32) tuple
     done: jax.Array         # (B,)
     window: jax.Array       # (B, W) w_0 = last confirmed, rest guesses
+    iters: jax.Array        # scalar int32: window forwards executed
 
 
 def _quantize_rows(rows: jax.Array):
@@ -243,7 +244,8 @@ def _window_step(params, cfg: ShapeOPTConfig, state: LookaheadState,
     new_window = jnp.concatenate([last_tok[:, None], guesses[:, : w - 1]], axis=1)
     new_steps = jnp.where(frozen, state.steps, new_steps)
 
-    return LookaheadState(new_steps, tokens, kv, new_done, new_window)
+    return LookaheadState(new_steps, tokens, kv, new_done, new_window,
+                          state.iters + 1)
 
 
 def generate_lookahead(
@@ -256,10 +258,16 @@ def generate_lookahead(
     bucket: int = 512,
     key: Optional[jax.Array] = None,
     attn: str = "auto",
-) -> jax.Array:
+    return_stats: bool = False,
+):
     """Greedy generation with lookahead. Token-identical to
     ``generate(..., sampling=False)`` in exact arithmetic (bf16 caveat
-    in the module docstring). Returns (B, max_new_tokens)."""
+    in the module docstring). Returns (B, max_new_tokens) — or, with
+    return_stats, a (tokens, stats) pair where stats carries the window
+    forwards executed and the per-row emitted token counts, so callers
+    can compute the measured acceptance rate
+    (sum(emitted - 1) / iterations; the prefill emits the first token).
+    """
     if attn == "auto":
         attn = "pallas" if jax.default_backend() == "tpu" else "xla"
     interpret = attn.startswith("pallas") and jax.default_backend() != "tpu"
@@ -292,6 +300,7 @@ def generate_lookahead(
         window=jnp.concatenate(
             [first[:, None], jnp.zeros((b, w - 1), jnp.int32)], axis=1
         ),
+        iters=jnp.zeros((), jnp.int32),
     )
 
     if attn.startswith("pallas"):
@@ -307,6 +316,9 @@ def generate_lookahead(
                                     max_new_tokens=max_new_tokens),
             state,
         )
+        if return_stats:
+            return state.tokens[:, :max_new_tokens], {
+                "iterations": state.iters, "emitted": state.steps}
         return state.tokens[:, :max_new_tokens]
 
     # XLA path: bucket schedule on the *max* live position across rows
@@ -339,4 +351,7 @@ def generate_lookahead(
         state,
     )
 
+    if return_stats:
+        return state.tokens[:, :max_new_tokens], {
+            "iterations": state.iters, "emitted": state.steps}
     return state.tokens[:, :max_new_tokens]
