@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Headline benchmark: 800-face max-length mesh generation on one chip.
 
-Prints ONE JSON line:
+Prints one JSON line per completed config; the LAST line is the
+headline:
   {"metric": "mesh_latency_800f_b8", "value": <seconds per mesh>,
    "unit": "s", "vs_baseline": <A6000_30s / value>}
 
@@ -9,31 +10,44 @@ Methodology: the full 350M pipeline (perceiver encode + condition +
 7,202-token AR decode + detokenizer) at the 800-face cap with early-exit
 disabled — the honest comparable to the reference's "~30 s per mesh on
 A6000" (README.md:116), which is full-length generation. Exact bf16
-numerics (token streams match the reference's greedy semantics); the
-int8-KV fast mode is faster still (PERF.md) but trades exactness, so it
-is not the headline. Batch 8 amortizes weight reads the same way any
-production deployment would; per-mesh latency = batch time / 8. Falls
-back to batch 1 if the batched run fails (e.g. memory pressure on a
-shared chip).
+numerics are the headline; fast modes (int8 KV, lookahead) and the
+BASELINE.json fixture configs (mouse.npy pc path, wand.obj mesh path,
+serving round-trip) are emitted as secondary metric lines, along with a
+measured HBM bandwidth floor for exact mode (the speed-of-light proof —
+exact bf16 must read 2.73 TB of KV per mesh, so its per-mesh floor on
+one chip is bandwidth-bound regardless of kernel quality).
 
 Weights are random (the shipped checkpoint needs network access);
 latency is weight-value-independent at fixed token count.
-Diagnostics go to stderr.
+Diagnostics go to stderr. Lines are emitted incrementally so an
+external timeout still leaves valid results on stdout; the headline is
+re-emitted last from the cached measurement.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 BASELINE_S = 30.0  # A6000 per-mesh latency, reference README.md:116
+REF = "/root/reference"
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def run_config(runner, params, pc, batch, label):
+def emit(metric, value, unit="s", vs=None):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(float(value), 3),
+        "unit": unit,
+        "vs_baseline": round(BASELINE_S / value if vs is None else vs, 2),
+    }), flush=True)
+
+
+def run_config(runner, pc, batch, label, gen_len):
     import jax
 
     t0 = time.time()
@@ -48,7 +62,10 @@ def run_config(runner, params, pc, batch, label):
         jax.device_get(out.token_ids.ravel()[0])
         times.append(time.time() - t0)
         log(f"{label} run {i}: {times[-1]:.3f}s ({times[-1] / batch:.3f}s/mesh)")
-    return float(np.median(times)) / batch
+    per_mesh = float(np.median(times)) / batch
+    log(f"meshes/min/chip: {60.0 / per_mesh:.1f}; "
+        f"AR tokens/sec/chip: {gen_len / per_mesh:.0f}")
+    return per_mesh
 
 
 def main():
@@ -67,33 +84,126 @@ def main():
     log(f"devices: {jax.devices()}")
     params = ma.init_meshanything_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     runner = PhaseRunner(params, cfg, bucket=512, early_exit=False)
-
     rng = np.random.default_rng(0)
+    gl = cfg.generate_length
 
-    def emit(metric, per_mesh):
-        log(f"meshes/min/chip: {60.0 / per_mesh:.1f}; "
-            f"AR tokens/sec/chip: {cfg.generate_length / per_mesh:.0f}")
-        # one JSON line per completed config; the last one printed is
-        # the headline — so an external timeout during the bigger
-        # config still leaves a valid result on stdout
-        print(json.dumps({
-            "metric": metric,
-            "value": round(per_mesh, 3),
-            "unit": "s",
-            "vs_baseline": round(BASELINE_S / per_mesh, 2),
-        }), flush=True)
+    headline = None
 
+    # --- headline configs (exact bf16, max-length stress) -----------------
     pc1 = jnp.asarray(rng.normal(size=(1, cfg.perceiver.num_points, 6)).astype(np.float32) * 0.5)
-    per_mesh = run_config(runner, params, pc1, 1, "exact bf16 B=1")
-    emit("p50_mesh_latency_800f", per_mesh)
+    per1 = run_config(runner, pc1, 1, "exact bf16 B=1", gl)
+    emit("p50_mesh_latency_800f", per1)
+    headline = ("p50_mesh_latency_800f", per1)
 
     try:
-        batch = 8
-        pc8 = jnp.asarray(rng.normal(size=(batch, cfg.perceiver.num_points, 6)).astype(np.float32) * 0.5)
-        per_mesh = run_config(runner, params, pc8, batch, f"exact bf16 B={batch}")
-        emit("mesh_latency_800f_b8", per_mesh)
+        pc8 = jnp.asarray(rng.normal(size=(8, cfg.perceiver.num_points, 6)).astype(np.float32) * 0.5)
+        per8 = run_config(runner, pc8, 8, "exact bf16 B=8", gl)
+        emit("mesh_latency_800f_b8", per8)
+        headline = ("mesh_latency_800f_b8", per8)
     except Exception as e:
-        log(f"batched config failed ({type(e).__name__}: {e}); keeping B=1 result")
+        log(f"B=8 failed ({type(e).__name__}: {e}); keeping B=1 headline")
+
+    # --- bandwidth-floor proof --------------------------------------------
+    try:
+        from meshanything_tpu.runtime.bwprobe import (
+            exact_floor_seconds,
+            measure_kernel_bw,
+            measure_matmul_bw,
+        )
+
+        bw = max(measure_matmul_bw(), measure_kernel_bw())
+        log(f"measured HBM BW: {bw:.0f} GB/s")
+        floor8 = exact_floor_seconds(cfg, bw, batch=8)
+        emit("exact_bf16_floor_b8", floor8)
+        log(f"exact bf16 B=8 is at {floor8 / headline[1] * 100:.0f}% of the "
+            f"measured-bandwidth speed of light")
+    except Exception as e:
+        log(f"floor probe failed ({type(e).__name__}: {e})")
+
+    # --- fixture configs (BASELINE.json): real inputs, early exit on ------
+    try:
+        from meshanything_tpu.runtime.pipeline import load_inputs
+
+        fix_runner = runner  # same shapes as pc1 — reuses the compiled programs
+        for name, path, itype in (
+            ("mouse_npy_pc", os.path.join(REF, "pc_examples/mouse.npy"), "pc_normal"),
+            ("wand_obj_mesh", os.path.join(REF, "examples/wand.obj"), "mesh"),
+        ):
+            if not os.path.exists(path):
+                continue
+            t0 = time.time()
+            samples = load_inputs(itype, [path], num_points=cfg.perceiver.num_points, seed=0)
+            pc = jnp.asarray(np.asarray(samples[0].pc_normal, np.float32)[None])
+            out = fix_runner(pc)
+            jax.device_get(out.token_ids.ravel()[0])
+            first = time.time() - t0
+            t0 = time.time()
+            samples = load_inputs(itype, [path], num_points=cfg.perceiver.num_points, seed=0)
+            pc = jnp.asarray(np.asarray(samples[0].pc_normal, np.float32)[None])
+            out = fix_runner(pc)
+            jax.device_get(out.token_ids.ravel()[0])
+            warm = time.time() - t0
+            log(f"{name}: first {first:.1f}s, warm {warm:.3f}s (incl. host preprocessing)")
+            emit(f"e2e_{name}", warm)
+    except Exception as e:
+        log(f"fixture configs failed ({type(e).__name__}: {e})")
+
+    # --- serving round-trip ------------------------------------------------
+    try:
+        import threading
+        import urllib.request
+        from http.server import ThreadingHTTPServer
+
+        from meshanything_tpu.serving import ServingEngine, _make_handler
+
+        engine = ServingEngine.__new__(ServingEngine)
+        engine.cfg = cfg
+        engine.params = params
+        engine._jax = jax
+        engine.artifacts_dir = "/tmp/bench_artifacts"
+        engine._greedy = lambda p, pc, k: runner(jnp.asarray(pc))
+        engine._sample = engine._greedy
+        server = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(engine))
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        wand = os.path.join(REF, "examples/wand.obj")
+        if os.path.exists(wand):
+            with open(wand, "rb") as fh:
+                body = fh.read()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=body, method="POST")
+            with urllib.request.urlopen(req) as r:   # warm the path
+                r.read()
+            t0 = time.time()
+            with urllib.request.urlopen(urllib.request.Request(
+                    f"http://127.0.0.1:{port}/generate", data=body, method="POST")) as r:
+                r.read()
+            emit("serving_roundtrip", time.time() - t0)
+        server.shutdown()
+    except Exception as e:
+        log(f"serving config failed ({type(e).__name__}: {e})")
+
+    # --- fast modes (secondary: int8 KV trades exactness) ------------------
+    try:
+        runner16 = PhaseRunner(params, cfg, bucket=512, attn="pallas_int8",
+                               early_exit=False)
+        pc16 = jnp.asarray(rng.normal(size=(16, cfg.perceiver.num_points, 6)).astype(np.float32) * 0.5)
+        per16 = run_config(runner16, pc16, 16, "int8 KV B=16", gl)
+        emit("mesh_latency_800f_int8_b16", per16)
+    except Exception as e:
+        log(f"int8 B=16 failed ({type(e).__name__}: {e})")
+
+    try:
+        runner_la = PhaseRunner(params, cfg, bucket=512, attn="pallas_int8",
+                                lookahead=8)
+        pc8b = jnp.asarray(rng.normal(size=(8, cfg.perceiver.num_points, 6)).astype(np.float32) * 0.5)
+        per_la = run_config(runner_la, pc8b, 8, "int8+lookahead W=8 B=8", gl)
+        emit("mesh_latency_800f_int8_la8_b8", per_la)
+    except Exception as e:
+        log(f"int8+lookahead failed ({type(e).__name__}: {e})")
+
+    # --- headline last (the driver parses the final line) ------------------
+    emit(headline[0], headline[1])
 
 
 if __name__ == "__main__":
