@@ -43,3 +43,24 @@ def test_phase_timer_summary(tmp_path):
 def test_device_memory_stats_shape():
     stats = device_memory_stats()
     assert isinstance(stats, dict) and len(stats) >= 1
+
+
+def test_html_viewer_export(tmp_path):
+    """Self-contained HTML viewer (the PyThreeJSViewer capability,
+    reference utils/visualizers/) embeds the mesh and the JS renderer."""
+    import json as _json
+
+    from meshanything_tpu.runtime.html_viewer import export_html_viewer
+
+    v = np.array([[0, 0, 0], [2, 0, 0], [2, 2, 0], [0, 0, 2]], float)
+    f = np.array([[0, 1, 2], [0, 1, 3], [1, 2, 3], [0, 2, 3]])
+    out = export_html_viewer(v, f, str(tmp_path / "m.html"), title="t")
+    text = open(out).read()
+    assert text.startswith("<!doctype html>")
+    assert "const V =" in text and "const F =" in text
+    # embedded data round-trips and is unit-normalized
+    vjson = text.split("const V = ")[1].split(";\n")[0]
+    arr = np.asarray(_json.loads(vjson))
+    assert arr.shape == (4, 3)
+    assert np.abs(arr).max() <= 1.0 + 1e-6
+    assert "[0, 1, 2]" in text.replace("], [", "], [")
