@@ -97,3 +97,9 @@ def contrastive_loss(shape_embed: jax.Array, other_embed: jax.Array, logit_scale
     labels = jnp.arange(a.shape[0]) + offset
     loss_ab = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
     return loss_ab
+
+
+def compute_psnr(x, y, data_range: float = 2.0, eps: float = 1e-7):
+    """PSNR over a value range (reference utils/eval.py:6-11)."""
+    mse = jnp.mean((x - y) ** 2)
+    return 10.0 * jnp.log10(data_range / (mse + eps))
