@@ -95,56 +95,49 @@ def _window_step(params, cfg: ShapeOPTConfig, state: LookaheadState,
         qkv = linear(x, p["qkv"]["w"], p["qkv"]["b"])
         q, k, v = jnp.split(qkv, 3, axis=-1)              # (B, W, d)
 
-        # scatter the window's K/V rows at per-row offsets
-        def put(cache_2l, rows):
-            # cache_2l: (B, S, HD) one (kv, layer) plane; rows: (B, W, HD)
-            def one(row_cache, row_vals, start):
-                return jax.lax.dynamic_update_slice(row_cache, row_vals, (start, 0))
-
-            return jax.vmap(one)(cache_2l, rows, write_start)
-
         zero = jnp.zeros((), jnp.int32)
         one_ = jnp.ones((), jnp.int32)
 
-        def put_plane(buf, rows, kv_sel):
-            # buf: (2, L, B, S, HD); rows: (B, W, HD) (dtype of buf)
-            plane = jax.lax.dynamic_slice(
-                buf, (kv_sel, layer_idx, zero, zero, zero),
-                (1, 1, b, buf.shape[3], buf.shape[4]),
-            )[0, 0]
-            plane = put(plane, rows.astype(buf.dtype))
-            return jax.lax.dynamic_update_slice(
-                buf, plane[None, None], (kv_sel, layer_idx, zero, zero, zero)
-            )
+        # scatter the window's K/V rows at per-row offsets DIRECTLY into
+        # the full buffer: a fori_loop of (1,1,1,W,HD) updates keeps the
+        # carry aliased in place. (The round-1 formulation sliced a whole
+        # (B, S, HD) plane out and wrote it back per layer — XLA
+        # materialized the plane copy, gigabytes per window step at full
+        # context, and int8+lookahead benched SLOWER than plain int8.)
+        def put_rows(buf, rows, kv_sel):
+            # buf: (2, L, B, S, HD); rows: (B, W, HD)
+            rows = rows.astype(buf.dtype)
+
+            def one(bi, buf):
+                upd = rows[bi][None, None, None]            # (1,1,1,W,HD)
+                return jax.lax.dynamic_update_slice(
+                    buf, upd, (kv_sel, layer_idx, bi, write_start[bi], zero)
+                )
+
+            return jax.lax.fori_loop(0, b, one, buf)
+
+        def put_scales(buf, svals, kv_sel):
+            # buf: (2, L, B, 1, S); svals: (B, W)
+            def one(bi, buf):
+                upd = svals[bi][None, None, None, None]     # (1,1,1,1,W)
+                return jax.lax.dynamic_update_slice(
+                    buf, upd, (kv_sel, layer_idx, bi, zero, write_start[bi])
+                )
+
+            return jax.lax.fori_loop(0, b, one, buf)
 
         if attn == "pallas_int8":
             values, scales = kv
             kq, ks_ = _quantize_rows(k)                   # (B,W,HD), (B,W,1)
             vq, vs_ = _quantize_rows(v)
-            values = put_plane(values, kq, zero)
-            values = put_plane(values, vq, one_)
-
-            def put_scale(buf, svals, kv_sel):
-                # buf: (2, L, B, 1, S); svals: (B, W)
-                plane = jax.lax.dynamic_slice(
-                    buf, (kv_sel, layer_idx, zero, zero, zero),
-                    (1, 1, b, 1, buf.shape[4]),
-                )[0, 0]                                    # (B, 1, S)
-
-                def one_row(row_cache, row_vals, start):
-                    return jax.lax.dynamic_update_slice(row_cache, row_vals[None], (0, start))
-
-                plane = jax.vmap(one_row)(plane, svals, write_start)
-                return jax.lax.dynamic_update_slice(
-                    buf, plane[None, None], (kv_sel, layer_idx, zero, zero, zero)
-                )
-
-            scales = put_scale(scales, ks_[..., 0], zero)
-            scales = put_scale(scales, vs_[..., 0], one_)
+            values = put_rows(values, kq, zero)
+            values = put_rows(values, vq, one_)
+            scales = put_scales(scales, ks_[..., 0], zero)
+            scales = put_scales(scales, vs_[..., 0], one_)
             kv = (values, scales)
         else:
-            kv = put_plane(kv, k, zero)
-            kv = put_plane(kv, v, one_)
+            kv = put_rows(kv, k, zero)
+            kv = put_rows(kv, v, one_)
 
         qh = q.reshape(b, w, h, hd)
         if attn == "pallas_int8":
