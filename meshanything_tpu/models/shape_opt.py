@@ -358,7 +358,8 @@ class DecodeState(NamedTuple):
 
 def _decode_step(params, cfg: ShapeOPTConfig, state: DecodeState, kv_slice_len: int,
                  *, sampling: bool, top_k: int, top_p: float, temperature: float,
-                 attn: str = "xla", chunk: int = 512, interpret: bool = False) -> DecodeState:
+                 attn: str = "xla", chunk: int = 512, interpret: bool = False,
+                 unroll: int = 1) -> DecodeState:
     b = state.last_token.shape[0]
     dtype = params["cond_embed"].dtype
 
@@ -380,6 +381,7 @@ def _decode_step(params, cfg: ShapeOPTConfig, state: DecodeState, kv_slice_len: 
         lambda c, pkv: body(c, pkv),
         (x, state.kv, abs_pos),
         (params["layers"], layer_ids),
+        unroll=unroll,
     )
 
     logits = linear(x[:, 0], params["lm_head"]["w"]).astype(jnp.float32)
@@ -412,6 +414,7 @@ def generate(
     bucket: int = 512,
     early_exit: bool = True,
     attn: str = "auto",
+    unroll: int = 1,
 ) -> jax.Array:
     """Autoregressive generation: TPU-resident replacement for
     ``transformer.generate`` (meshanything.py:144-162).
@@ -486,7 +489,8 @@ def generate(
 
         def body_fn(st):
             return _decode_step(params, cfg, st, s_max, attn=attn,
-                                chunk=bucket, interpret=interpret, **step_kw)
+                                chunk=bucket, interpret=interpret,
+                                unroll=unroll, **step_kw)
 
         state = jax.lax.while_loop(cond_fn, body_fn, state)
         return state.tokens
