@@ -295,6 +295,37 @@ def init_cross_attention_block(key, width, data_width=None, ffn_mult=4, *, qkv_b
     }
 
 
+def trunc_normal(key, shape, std=0.02, a=-2.0, b=2.0, dtype=jnp.float32):
+    """Truncated normal init (timm trunc_normal_ semantics: truncation
+    bounds in sigmas; reference transformer_vit.py:17-70)."""
+    return jax.random.truncated_normal(key, a, b, shape, jnp.float32).astype(dtype) * std
+
+
+def init_self_attention_block_vit(key, width, ffn_mult=4, *, qkv_bias=True,
+                                  std=0.02, dtype=jnp.float32):
+    """ViT-initialized variant of the pre-LN block (reference
+    transformer_vit.py:82-307): truncated-normal(std=0.02) weights, zero
+    biases — versus the Michelangelo stack's normal(init_scale/sqrt(w))
+    — and standard 1/sqrt(d) attention scaling at apply time
+    (self_attention_block(..., dual_sqrt_scale=False))."""
+    ks = jax.random.split(key, 4)
+
+    def lin(k, d_in, d_out, bias=True):
+        p = {"w": trunc_normal(k, (d_in, d_out), std, dtype=dtype)}
+        if bias:
+            p["b"] = jnp.zeros((d_out,), dtype)
+        return p
+
+    return {
+        "ln1": init_ln(width, dtype),
+        "qkv": lin(ks[0], width, 3 * width, qkv_bias),
+        "proj": lin(ks[1], width, width),
+        "ln2": init_ln(width, dtype),
+        "fc": lin(ks[2], width, ffn_mult * width),
+        "fc_out": lin(ks[3], ffn_mult * width, width),
+    }
+
+
 def stack_layer_params(layer_list):
     """List of per-layer param dicts -> one dict with stacked leaves."""
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layer_list)
