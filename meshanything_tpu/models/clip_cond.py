@@ -176,15 +176,20 @@ CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
 def preprocess_image(image: jax.Array, image_size: int = 224,
-                     value_range: Optional[Tuple[float, float]] = (-1.0, 1.0)) -> jax.Array:
-    """(B, 3, H, W) -> resized/center-cropped/CLIP-normalized pixels."""
+                     value_range: Optional[Tuple[float, float]] = (-1.0, 1.0),
+                     method: str = "cubic") -> jax.Array:
+    """(B, 3, H, W) -> resized/center-cropped/CLIP-normalized pixels.
+
+    method: "cubic" matches the pooled embedder's BICUBIC transform
+    (encoder_factory.py:211); the grid embedder resizes BILINEAR
+    (encoder_factory.py:324) — pass "linear" there."""
     if value_range is not None:
         lo, hi = value_range
         image = (image - lo) / (hi - lo)
     b, c, h, w = image.shape
     short = min(h, w)
     new_h, new_w = int(round(h * image_size / short)), int(round(w * image_size / short))
-    image = jax.image.resize(image, (b, c, new_h, new_w), method="cubic")
+    image = jax.image.resize(image, (b, c, new_h, new_w), method=method)
     top = (new_h - image_size) // 2
     left = (new_w - image_size) // 2
     image = image[:, :, top:top + image_size, left:left + image_size]
@@ -224,12 +229,18 @@ def image_embedding(params: dict, cfg: CLIPVisionConfig, image: jax.Array, *,
 
 
 def image_grid_embedding(params: dict, cfg: CLIPVisionConfig, image: jax.Array, *,
-                         value_range: Optional[Tuple[float, float]] = (-1.0, 1.0)
-                         ) -> jax.Array:
+                         key: Optional[jax.Array] = None,
+                         value_range: Optional[Tuple[float, float]] = (-1.0, 1.0),
+                         zero_embedding_radio: float = 0.0) -> jax.Array:
     """FrozenCLIPImageGridEmbedder: every vision token (B, 1+P, D)
-    (encoder_factory.py:299-379)."""
-    pixels = preprocess_image(image, cfg.image_size, value_range)
+    (encoder_factory.py:299-379). Resizes BILINEAR (that embedder's
+    transform differs from the pooled one) and supports the same
+    whole-sample zero dropout."""
+    pixels = preprocess_image(image, cfg.image_size, value_range, method="linear")
     z, _ = clip_vision_forward(params, cfg, pixels)
+    if zero_embedding_radio > 0 and key is not None:
+        keep = jax.random.uniform(key, (z.shape[0], 1, 1)) >= zero_embedding_radio
+        z = z * keep.astype(z.dtype)
     return z
 
 

@@ -322,6 +322,11 @@ def ddim_sample(params: dict, cfg: DiffusionConfig, key: jax.Array,
     b = context.shape[0]
     if uncond is None:
         uncond = jnp.zeros_like(context)
+    if not 0 < steps <= cfg.num_train_timesteps:
+        raise ValueError(
+            f"steps={steps} must be in [1, num_train_timesteps="
+            f"{cfg.num_train_timesteps}] (a larger value would collapse "
+            "the schedule to t=0)")
     a_bar = alphas_cumprod(cfg)
     # leading timesteps, evenly strided (diffusers DDIM "leading" spacing)
     stride = cfg.num_train_timesteps // steps

@@ -51,15 +51,10 @@ class LookaheadState(NamedTuple):
     iters: jax.Array        # scalar int32: window forwards executed
 
 
-def _quantize_rows(rows: jax.Array):
-    """Per-row symmetric int8: rows (..., H*D) -> (int8 rows, f32 scale
-    per row) — the same scheme as the single-token int8 decode path
-    (shape_opt._decode_step)."""
-    r32 = rows.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(r32), axis=-1, keepdims=True)
-    s = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(r32 / s), -127, 127).astype(jnp.int8)
-    return q, s
+# per-row symmetric int8 — ONE implementation shared with the
+# single-token decode and prefill paths (the scale floor and clip range
+# are a numerical contract with the kernel)
+from meshanything_tpu.ops.kvcache import quantize_rows as _quantize_rows  # noqa: E402
 
 
 def _window_step(params, cfg: ShapeOPTConfig, state: LookaheadState,
@@ -273,7 +268,7 @@ def generate_lookahead(
         # order as shape_opt.generate — padding bf16 first would
         # materialize the full-length bf16 buffer)
         logits0, kv_c = prefill(params, cfg, cond_embeds, c)
-        kq, s_rows = _quantize_rows(kv_c)                  # (..., C, HD), (..., C, 1)
+        kq, s_rows = _quantize_rows(kv_c)                  # (..., C, int8), (..., C, 1)
         values = jnp.pad(kq, ((0, 0), (0, 0), (0, 0), (0, s_max - c), (0, 0)))
         scales = jnp.transpose(s_rows, (0, 1, 2, 4, 3))    # (2, L, B, 1, C)
         scales = jnp.pad(scales, ((0, 0), (0, 0), (0, 0), (0, 0), (0, s_max - c)),

@@ -282,16 +282,11 @@ def _opt_layer_decode(cfg: ShapeOPTConfig, kv_slice_len: int, attn: str = "xla",
         zero = jnp.zeros((), jnp.int32)
         one = jnp.ones((), jnp.int32)
         if attn == "pallas_int8":
+            from meshanything_tpu.ops.kvcache import quantize_rows
+
             values, scales = kv
-
-            def qrow(row):
-                amax = jnp.max(jnp.abs(row.astype(jnp.float32)), axis=-1, keepdims=True)
-                s = jnp.maximum(amax, 1e-8) / 127.0
-                qv = jnp.clip(jnp.round(row.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
-                return qv, s
-
-            kq, ks_ = qrow(k_row)
-            vq, vs_ = qrow(v_row)
+            kq, ks_ = quantize_rows(k_row)
+            vq, vs_ = quantize_rows(v_row)
             values = jax.lax.dynamic_update_slice(values, kq, (zero, layer_idx, zero, write_pos, zero))
             values = jax.lax.dynamic_update_slice(values, vq, (one, layer_idx, zero, write_pos, zero))
             # scales: (2, L, B, 1, S) — scalar per row
@@ -451,10 +446,10 @@ def generate(
         # quantize the compact condition-length cache, THEN pad to
         # s_max — padding the bf16 cache first would materialize the
         # full-length bf16 buffer (12 GB at B=16) before quantization
+        from meshanything_tpu.ops.kvcache import quantize_rows
+
         logits0, kv_c = prefill(params, cfg, cond_embeds, c)
-        amax = jnp.max(jnp.abs(kv_c.astype(jnp.float32)), axis=-1, keepdims=True)
-        row_scale = jnp.maximum(amax, 1e-8) / 127.0     # (2, L, B, C, 1)
-        values = jnp.clip(jnp.round(kv_c.astype(jnp.float32) / row_scale), -127, 127).astype(jnp.int8)
+        values, row_scale = quantize_rows(kv_c)             # (..., C, 1) scales
         scales = jnp.transpose(row_scale, (0, 1, 2, 4, 3))  # (2, L, B, 1, C)
         values = jnp.pad(values, ((0, 0), (0, 0), (0, 0), (0, s_max - c), (0, 0)))
         scales = jnp.pad(scales, ((0, 0), (0, 0), (0, 0), (0, 0), (0, s_max - c)),

@@ -40,7 +40,8 @@ class ServingEngine:
     """Load-once model + per-request generation (app.py:16-25,95-174)."""
 
     def __init__(self, params, cfg, *, bucket: int = 512, attn: str = "auto",
-                 lookahead: int = 0, artifacts_dir: str | None = None):
+                 lookahead: int = 0, artifacts_dir: str | None = None,
+                 runner=None):
         import jax
 
         from meshanything_tpu.runtime.phases import PhaseRunner
@@ -50,8 +51,12 @@ class ServingEngine:
         self._jax = jax
         self.artifacts_dir = artifacts_dir or tempfile.mkdtemp(prefix="meshanything_")
 
-        runner = PhaseRunner(params, cfg, bucket=bucket, attn=attn,
-                             lookahead=lookahead)
+        # runner injection lets callers reuse already-compiled programs
+        # (bench.py shares its headline PhaseRunner with the serving
+        # round-trip instead of recompiling identical shapes)
+        if runner is None:
+            runner = PhaseRunner(params, cfg, bucket=bucket, attn=attn,
+                                 lookahead=lookahead)
         self._greedy = lambda p, pc, k: runner(pc, sampling=False, key=k)
         self._sample = lambda p, pc, k: runner(pc, sampling=True, key=k)
 
@@ -93,10 +98,15 @@ class ServingEngine:
         # app normalization: mesh bbox for both mesh and pc (app.py:108-114)
         norm_vertices, pc_coor = normalize_mesh_app(mesh.vertices, pc[:, :3].astype(np.float64))
 
-        # processed-input cleanup + orange vertex colors (app.py:116-127)
+        # processed-input cleanup + orange vertex colors (app.py:116-127).
+        # The marched shell is already consistently outward-oriented by
+        # construction (geometry/marching.py), so the per-face BFS repair
+        # is skipped there — on a 128^3 isosurface (~1e5-1e6 faces) it
+        # would stall the request for minutes.
         in_v, in_f = merge_vertices(norm_vertices, mesh.faces)
         in_f = remove_degenerate_and_duplicate_faces(in_f)
-        in_f = fix_normals(in_v, in_f)
+        if not do_marching_cubes:
+            in_f = fix_normals(in_v, in_f)
         input_mesh = Mesh(in_v, in_f,
                           vertex_colors=np.tile(ORANGE, (len(in_v), 1)))
 
@@ -121,30 +131,45 @@ class ServingEngine:
             "input_mesh": input_mesh,
             "faces_generated": int(np.sum(~np.isnan(coords[:, 0, 0]))),
             "faces_final": len(gen_mesh.faces),
+            # model-pipeline latency only — artifact export (matplotlib
+            # renders + disk writes) is reported separately below so the
+            # number stays comparable with bench.py
+            "latency_s": time.time() - t0,
         }
 
         if export_artifacts:
+            import uuid
+
             from meshanything_tpu.runtime.render import wireframe_render
 
-            ts = int(time.time())
+            t1 = time.time()
+            # timestamp dodges client caches (app.py:125,169); the uuid
+            # suffix prevents concurrent same-second requests from
+            # overwriting each other under the threaded HTTP server
+            ts = f"{int(time.time())}_{uuid.uuid4().hex[:8]}"
             os.makedirs(self.artifacts_dir, exist_ok=True)
 
             def apath(name):
                 return os.path.join(self.artifacts_dir, name)
 
-            # timestamped exports to dodge client caches (app.py:125,169)
+            def preview(mesh_):
+                # cap the preview size: Poly3DCollection over 1e5+ faces
+                # takes minutes; subsample for the render only
+                if len(mesh_.faces) > 20000:
+                    sel = np.linspace(0, len(mesh_.faces) - 1, 20000).astype(int)
+                    return mesh_.vertices, mesh_.faces[sel]
+                return mesh_.vertices, mesh_.faces
+
             result["input_obj_path"] = apath(f"processed_input_{ts}.obj")
             save_obj(input_mesh, result["input_obj_path"])
             result["input_render_path"] = wireframe_render(
-                input_mesh.vertices, input_mesh.faces,
-                apath(f"combined_mesh_view_input_{ts}.png"))
+                *preview(input_mesh), apath(f"combined_mesh_view_input_{ts}.png"))
             result["output_obj_path"] = apath(f"output_{ts}.obj")
             save_obj(gen_mesh, result["output_obj_path"])
             result["output_render_path"] = wireframe_render(
-                gen_mesh.vertices, gen_mesh.faces,
-                apath(f"combined_mesh_view_output_{ts}.png"))
+                *preview(gen_mesh), apath(f"combined_mesh_view_output_{ts}.png"))
+            result["artifact_export_s"] = time.time() - t1
 
-        result["latency_s"] = time.time() - t0
         return result
 
 

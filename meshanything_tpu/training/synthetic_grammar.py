@@ -141,15 +141,20 @@ def measure_lookahead_acceptance(params, cfg: MeshAnythingConfig, pc: np.ndarray
 
     emitted = int(np.sum(np.asarray(stats["emitted"]) - 1))  # prefill emits token 0
     iters = max(int(stats["iterations"]), 1)
+    b = plain.shape[0]
 
     agree, total = 0, 0
-    for row in range(plain.shape[0]):
+    for row in range(b):
         eos = np.where(plain[row] == cfg.opt.eos_token_id)[0]
         limit = (eos[0] + 1) if len(eos) else plain.shape[1]
         agree += int((look[row, :limit] == plain[row, :limit]).sum())
         total += int(limit)
     return {
-        "acceptance": emitted / iters,
+        # mean tokens accepted per row per window forward (iterations is
+        # a batch-level counter, so divide by B; rows frozen at eos
+        # contribute 0 to later iterations — a mild LOWER bound on
+        # per-row acceptance, exact when rows finish together)
+        "acceptance": emitted / (iters * b),
         "iterations": iters,
         "emitted": emitted,
         "agreement": agree / max(total, 1),

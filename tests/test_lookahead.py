@@ -111,8 +111,8 @@ def test_lookahead_acceptance_on_trained_grammar(rng):
     """Bound realistic lookahead acceptance with a model TRAINED on the
     9-token face grammar (VERDICT r1: random-weight acceptance is the
     degenerate best case; this is the structured-data measurement).
-    A converged small model reaches near-window acceptance with exact
-    f32 agreement."""
+    A converged small model accepts ~4 tokens per row per window-8
+    forward with exact f32 agreement."""
     import dataclasses
 
     from meshanything_tpu.config import small_test_config
