@@ -370,14 +370,26 @@ def _decode_step(params, cfg: ShapeOPTConfig, state: DecodeState, kv_slice_len: 
     x = x + params["embed_positions"][abs_pos + cfg.pos_offset].astype(dtype)
     x = x[:, None, :]  # (B, 1, d)
 
-    body = _opt_layer_decode(cfg, kv_slice_len, attn=attn, chunk=chunk, interpret=interpret)
-    layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
-    (x, kv, _), _ = jax.lax.scan(
-        lambda c, pkv: body(c, pkv),
-        (x, state.kv, abs_pos),
-        (params["layers"], layer_ids),
-        unroll=unroll,
-    )
+    if attn == "megakernel":
+        # ONE launch for all layers: weights double-buffered through
+        # VMEM, KV append + flash sweep inline (ops/megakernel.py)
+        from meshanything_tpu.ops.megakernel import decode_step_megakernel
+
+        x_row, kv = decode_step_megakernel(
+            x[:, 0], params["layers"], state.kv, abs_pos, abs_pos + 1,
+            num_heads=cfg.num_heads, chunk=chunk, ln_eps=cfg.ln_eps,
+            interpret=interpret,
+        )
+        x = x_row[:, None]
+    else:
+        body = _opt_layer_decode(cfg, kv_slice_len, attn=attn, chunk=chunk, interpret=interpret)
+        layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+        (x, kv, _), _ = jax.lax.scan(
+            lambda c, pkv: body(c, pkv),
+            (x, state.kv, abs_pos),
+            (params["layers"], layer_ids),
+            unroll=unroll,
+        )
 
     logits = linear(x[:, 0], params["lm_head"]["w"]).astype(jnp.float32)
 
@@ -434,7 +446,8 @@ def generate(
     """
     if attn == "auto":
         attn = "pallas" if jax.default_backend() == "tpu" else "xla"
-    interpret = attn.startswith("pallas") and jax.default_backend() != "tpu"
+    interpret = (attn.startswith("pallas") or attn == "megakernel") \
+        and jax.default_backend() != "tpu"
     b, c, _ = cond_embeds.shape
     # pad the cache to a chunk multiple: the flash-decode kernel DMAs
     # whole chunks, so the last chunk must not run past the buffer
@@ -475,7 +488,7 @@ def generate(
 
     step_kw = dict(sampling=sampling, top_k=top_k, top_p=top_p, temperature=temperature)
 
-    if attn.startswith("pallas"):
+    if attn.startswith("pallas") or attn == "megakernel":
         def cond_fn(st):
             live = st.step < max_new_tokens
             if early_exit:
