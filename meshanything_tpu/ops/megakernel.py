@@ -16,12 +16,30 @@ Differences from the per-layer flash-decode kernel
     which cost more than the glue it saved);
   * the KV cache is an aliased input/output (pl.pallas_call
     input_output_aliases) — the new K/V rows are DMA'd back to HBM
-    before the attention sweep reads them.
+    before the attention sweep reads them;
+  * the small per-layer params (biases + LN affines) ride a packed
+    (L, 8, R) side array DMA'd with the weights and sliced at STATIC
+    offsets — Mosaic cannot prove a dynamic `ref[layer]` row load into
+    VMEM is 8-aligned (the platform's lane/sublane rule, see
+    memory/axon-tpu-quirks).
 
 Scope: bf16 cache, single-query (the lookahead/int8 paths keep the
 per-layer kernel). B is free but every row's attention sweep shares the
-layer-weight streaming. VMEM budget: 2x(6+2+8+8) MB weight buffers
-+ 2 x chunk x 1 KB KV buffers ~= 50 MB of the ~128 MB v5e VMEM.
+layer-weight streaming.
+
+STATUS — measured infeasible on v5e, kept as a documented experiment:
+the whole-matrix double buffers need 2x(6+2+8+8) = 50 MB of VMEM, but a
+v5e core has ~16 MB; Mosaic compiles the kernel (after three real
+lowering fixes: packed small-params for dynamic row loads, separate
+staging buffers, 8-aligned read-modify-write cache appends) and the
+program then fails VMEM allocation at the XLA level. Making this fit
+requires streaming each weight matrix in <=2 MB column/row chunks with
+partial-sum accumulation — roughly quadrupling kernel complexity for a
+ceiling the bandwidth-floor analysis caps at ~6% at B=8 (PERF.md: the
+scan path already runs at 94% of measured speed-of-light). The
+interpret-mode path stays fully tested (tests/test_megakernel.py) as
+the starting point if a future chip's VMEM makes it viable;
+decode_step_megakernel raises a clear error on real TPUs.
 """
 from __future__ import annotations
 
@@ -36,21 +54,45 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _pack_small_params(layer_params: dict, d: int, f: int) -> jax.Array:
+    """Biases + LN affines -> (L, 8, R) f32, R = max(4d, f).
+
+    Row layout (static offsets inside the kernel):
+      0: [qkv_b (3d) | out_b (d)]
+      1: [fc1_b (f)]
+      2: [fc2_b (d) | ln_attn.scale (d) | ln_attn.bias (d) | ln_ffn.scale (d)]
+      3: [ln_ffn.bias (d)]
+      4-7: zero padding (keeps the DMA tile 8 sublanes tall)."""
+    L = layer_params["qkv"]["w"].shape[0]
+    R = max(4 * d, f)
+
+    def pad(x, width):
+        x = x.astype(jnp.float32)
+        return jnp.pad(x, ((0, 0), (0, width - x.shape[-1])))
+
+    row0 = pad(jnp.concatenate(
+        [layer_params["qkv"]["b"], layer_params["out"]["b"]], axis=-1), R)
+    row1 = pad(layer_params["fc1"]["b"], R)
+    row2 = pad(jnp.concatenate(
+        [layer_params["fc2"]["b"], layer_params["ln_attn"]["scale"],
+         layer_params["ln_attn"]["bias"], layer_params["ln_ffn"]["scale"]],
+        axis=-1), R)
+    row3 = pad(layer_params["ln_ffn"]["bias"], R)
+    zeros = jnp.zeros((L, 4, R), jnp.float32)
+    return jnp.concatenate(
+        [jnp.stack([row0, row1, row2, row3], axis=1), zeros], axis=1)
+
+
 def _megakernel(
     # scalar prefetch
     pos_ref,            # SMEM (2,) int32: [write_pos, cur_len]
     # inputs
     x_ref,              # VMEM (B, D)
     qkv_w_hbm,          # HBM (L, D, 3D)
-    qkv_b_ref,          # VMEM (L, 3D)
     out_w_hbm,          # HBM (L, D, D)
-    out_b_ref,          # VMEM (L, D)
-    ln_attn_ref,        # VMEM (L, 2, D)  [scale, bias]
     fc1_w_hbm,          # HBM (L, D, F)
-    fc1_b_ref,          # VMEM (L, F)
     fc2_w_hbm,          # HBM (L, F, D)
-    fc2_b_ref,          # VMEM (L, D)
-    ln_ffn_ref,         # VMEM (L, 2, D)
+    small_hbm,          # HBM (L, 8, R) f32 packed biases/LN
     kv_in,              # HBM (2, L, B, S, D) — aliased with kv_out
     # outputs
     x_out_ref,          # VMEM (B, D)
@@ -60,9 +102,11 @@ def _megakernel(
     out_buf,            # VMEM (2, D, D)
     fc1_buf,            # VMEM (2, D, F)
     fc2_buf,            # VMEM (2, F, D)
+    small_buf,          # VMEM (2, 8, R) f32
     k_buf, v_buf,       # VMEM (2, CHUNK, D)
-    kv_row_buf,         # VMEM (2, B, D) — staging for the cache append
-    w_sem,              # DMA (2, 4)
+    k_row_buf,          # VMEM (B, 8, D) — 8-row aligned append windows
+    v_row_buf,          # VMEM (B, 8, D)
+    w_sem,              # DMA (2, 5)
     kv_sem,             # DMA (2, 2)
     row_sem,            # DMA (2,)
     *,
@@ -83,6 +127,7 @@ def _megakernel(
             pltpu.make_async_copy(out_w_hbm.at[layer], out_buf.at[slot], w_sem.at[slot, 1]),
             pltpu.make_async_copy(fc1_w_hbm.at[layer], fc1_buf.at[slot], w_sem.at[slot, 2]),
             pltpu.make_async_copy(fc2_w_hbm.at[layer], fc2_buf.at[slot], w_sem.at[slot, 3]),
+            pltpu.make_async_copy(small_hbm.at[layer], small_buf.at[slot], w_sem.at[slot, 4]),
         ]
 
     for dma in weight_dmas(0, 0):
@@ -106,30 +151,53 @@ def _megakernel(
         for dma in weight_dmas(slot, i):
             dma.wait()
 
+        sm = small_buf[slot]                                       # (8, R) f32
+        qkv_b = sm[0, :3 * d]
+        out_b = sm[0, 3 * d:4 * d]
+        fc1_b = sm[1, :fc1_buf.shape[-1]]
+        fc2_b = sm[2, :d]
+        ln_a_scale = sm[2, d:2 * d]
+        ln_a_bias = sm[2, 2 * d:3 * d]
+        ln_f_scale = sm[2, 3 * d:4 * d]
+        ln_f_bias = sm[3, :d]
+
         residual = x                                               # (B, D) f32
         qkv = jnp.dot(x.astype(jnp.bfloat16), qkv_buf[slot],
                       preferred_element_type=jnp.float32)
-        qkv = qkv + qkv_b_ref[i].astype(jnp.float32)
+        qkv = qkv + qkv_b
         q = qkv[:, :d]
         k_new = qkv[:, d:2 * d]
         v_new = qkv[:, 2 * d:]
 
         # append K/V rows to the HBM cache (aliased in/out) and wait so
-        # the sweep below reads the fresh row at write_pos
-        kv_row_buf[0] = k_new.astype(kv_row_buf.dtype)
-        kv_row_buf[1] = v_new.astype(kv_row_buf.dtype)
-        row_copies = []
-        for sel in range(2):
-            for bi in range(b):
-                cp = pltpu.make_async_copy(
-                    kv_row_buf.at[sel, pl.ds(bi, 1)],
-                    kv_out.at[sel, i, bi, pl.ds(write_pos, 1)],
-                    row_sem.at[sel],
-                )
-                cp.start()
-                row_copies.append(cp)
-        for cp in row_copies:
-            cp.wait()
+        # the sweep below reads the fresh row. The cache is sublane-tiled
+        # in HBM, so a 1-row DMA at a dynamic offset is not
+        # tile-expressible; instead read-modify-write the 8-row aligned
+        # window containing write_pos (pl.multiple_of carries the
+        # alignment proof Mosaic needs).
+        base = pl.multiple_of((write_pos // 8) * 8, 8)
+        off = write_pos - base
+        cp_k = pltpu.make_async_copy(
+            kv_out.at[0, i, :, pl.ds(base, 8)], k_row_buf, row_sem.at[0])
+        cp_v = pltpu.make_async_copy(
+            kv_out.at[1, i, :, pl.ds(base, 8)], v_row_buf, row_sem.at[1])
+        cp_k.start()
+        cp_v.start()
+        cp_k.wait()
+        cp_v.wait()
+        sel_row = (jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1) == off)
+        k_row_buf[...] = jnp.where(
+            sel_row, k_new.astype(k_row_buf.dtype).reshape(b, 1, d), k_row_buf[...])
+        v_row_buf[...] = jnp.where(
+            sel_row, v_new.astype(v_row_buf.dtype).reshape(b, 1, d), v_row_buf[...])
+        cp_k = pltpu.make_async_copy(
+            k_row_buf, kv_out.at[0, i, :, pl.ds(base, 8)], row_sem.at[0])
+        cp_v = pltpu.make_async_copy(
+            v_row_buf, kv_out.at[1, i, :, pl.ds(base, 8)], row_sem.at[1])
+        cp_k.start()
+        cp_v.start()
+        cp_k.wait()
+        cp_v.wait()
 
         # --- flash attention over the live context, per batch row ----
         num_chunks = pl.cdiv(cur_len, chunk)
@@ -194,24 +262,22 @@ def _megakernel(
         o = jnp.stack(o_rows)                                      # (B, D)
 
         x = residual + (jnp.dot(o.astype(jnp.bfloat16), out_buf[slot],
-                                preferred_element_type=jnp.float32)
-                        + out_b_ref[i].astype(jnp.float32))
+                                preferred_element_type=jnp.float32) + out_b)
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
         x = (x - mean) * jax.lax.rsqrt(var + ln_eps)
-        x = x * ln_attn_ref[i, 0].astype(jnp.float32) + ln_attn_ref[i, 1].astype(jnp.float32)
+        x = x * ln_a_scale + ln_a_bias
 
         residual = x
         h1 = jnp.dot(x.astype(jnp.bfloat16), fc1_buf[slot],
-                     preferred_element_type=jnp.float32) + fc1_b_ref[i].astype(jnp.float32)
+                     preferred_element_type=jnp.float32) + fc1_b
         h1 = jnp.maximum(h1, 0.0)
         x = residual + (jnp.dot(h1.astype(jnp.bfloat16), fc2_buf[slot],
-                                preferred_element_type=jnp.float32)
-                        + fc2_b_ref[i].astype(jnp.float32))
+                                preferred_element_type=jnp.float32) + fc2_b)
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
         x = (x - mean) * jax.lax.rsqrt(var + ln_eps)
-        x = x * ln_ffn_ref[i, 0].astype(jnp.float32) + ln_ffn_ref[i, 1].astype(jnp.float32)
+        x = x * ln_f_scale + ln_f_bias
         return x
 
     x = x_ref[...].astype(jnp.float32)
@@ -237,14 +303,20 @@ def decode_step_megakernel(
     b, d = x.shape
     layers = layer_params["qkv"]["w"].shape[0]
     f = layer_params["fc1"]["w"].shape[-1]
-    s = kv_cache.shape[3]
     bf16 = jnp.bfloat16
+    R = max(4 * d, f)
 
-    ln_attn = jnp.stack([layer_params["ln_attn"]["scale"],
-                         layer_params["ln_attn"]["bias"]], axis=1)
-    ln_ffn = jnp.stack([layer_params["ln_ffn"]["scale"],
-                        layer_params["ln_ffn"]["bias"]], axis=1)
+    if not interpret and jax.default_backend() == "tpu":
+        vmem_needed = (2 * (d * 3 * d + d * d + 2 * d * f) * 2
+                       + 2 * 2 * chunk * d * 2) / 1e6
+        raise NotImplementedError(
+            f"decode_step_megakernel needs ~{vmem_needed:.0f} MB of VMEM "
+            "for whole-matrix weight double-buffering but a v5e core has "
+            "~16 MB (see module docstring); use attn='pallas'. The "
+            "interpret-mode path remains available for correctness work."
+        )
 
+    small = _pack_small_params(layer_params, d, f)
     pos = jnp.stack([jnp.asarray(write_pos, jnp.int32),
                      jnp.asarray(cur_len, jnp.int32)])
 
@@ -252,18 +324,13 @@ def decode_step_megakernel(
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec((b, d), lambda *_: (0, 0), memory_space=pltpu.VMEM),      # x
-            pl.BlockSpec(memory_space=pl.ANY),                                   # qkv_w
-            pl.BlockSpec((layers, 3 * d), lambda *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),                                   # out_w
-            pl.BlockSpec((layers, d), lambda *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((layers, 2, d), lambda *_: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),                                   # fc1_w
-            pl.BlockSpec((layers, f), lambda *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),                                   # fc2_w
-            pl.BlockSpec((layers, d), lambda *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((layers, 2, d), lambda *_: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),                                   # kv
+            pl.BlockSpec((b, d), lambda *_: (0, 0), memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec(memory_space=pl.ANY),                                  # qkv_w
+            pl.BlockSpec(memory_space=pl.ANY),                                  # out_w
+            pl.BlockSpec(memory_space=pl.ANY),                                  # fc1_w
+            pl.BlockSpec(memory_space=pl.ANY),                                  # fc2_w
+            pl.BlockSpec(memory_space=pl.ANY),                                  # small
+            pl.BlockSpec(memory_space=pl.ANY),                                  # kv
         ],
         out_specs=[
             pl.BlockSpec((b, d), lambda *_: (0, 0), memory_space=pltpu.VMEM),
@@ -274,10 +341,12 @@ def decode_step_megakernel(
             pltpu.VMEM((2, d, d), bf16),
             pltpu.VMEM((2, d, f), bf16),
             pltpu.VMEM((2, f, d), bf16),
+            pltpu.VMEM((2, 8, R), jnp.float32),
             pltpu.VMEM((2, chunk, d), kv_cache.dtype),
             pltpu.VMEM((2, chunk, d), kv_cache.dtype),
-            pltpu.VMEM((2, b, d), kv_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.VMEM((b, 8, d), kv_cache.dtype),
+            pltpu.VMEM((b, 8, d), kv_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 5)),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -293,24 +362,18 @@ def decode_step_megakernel(
             jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),
         ],
         grid_spec=grid_spec,
-        # alias the cache: input index 12 (after the scalar-prefetch arg:
-        # pos, x, qkv_w, qkv_b, out_w, out_b, ln_attn, fc1_w, fc1_b,
-        # fc2_w, fc2_b, ln_ffn, kv) -> output 1
-        input_output_aliases={12: 1},
+        # alias the cache: operand order is (pos, x, qkv_w, out_w, fc1_w,
+        # fc2_w, small, kv) -> kv is input index 7, output 1
+        input_output_aliases={7: 1},
         interpret=interpret,
     )(
         pos,
         x,
         layer_params["qkv"]["w"].astype(bf16),
-        layer_params["qkv"]["b"],
         layer_params["out"]["w"].astype(bf16),
-        layer_params["out"]["b"],
-        ln_attn,
         layer_params["fc1"]["w"].astype(bf16),
-        layer_params["fc1"]["b"],
         layer_params["fc2"]["w"].astype(bf16),
-        layer_params["fc2"]["b"],
-        ln_ffn,
+        small,
         kv_cache,
     )
     return x_out, kv_out
