@@ -322,3 +322,18 @@ def convert_clip_vision(sd: Mapping, cfg: CLIPVisionConfig, prefix: str = "visio
     if "visual_projection.weight" in sd:
         p["visual_projection"] = {"w": np.ascontiguousarray(np.asarray(sd["visual_projection.weight"]).T)}
     return p
+
+
+# ---------------------------------------------------------------------------
+# class-label conditioning (encoder_factory.py:23-35)
+
+
+def init_class_embedder(key: jax.Array, embed_dim: int, n_classes: int = 1000,
+                        dtype=jnp.float32) -> dict:
+    return {"embedding": jax.random.normal(key, (n_classes, embed_dim), dtype) * 0.02}
+
+
+def class_embedding(params: dict, labels: jax.Array) -> jax.Array:
+    """ClassEmbedder.forward: (B,) int labels -> (B, 1, D) cross-attention
+    condition tokens."""
+    return params["embedding"][labels][:, None]

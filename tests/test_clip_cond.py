@@ -113,3 +113,11 @@ def test_preprocess_matches_torchvision(rng):
     out = cc.preprocess_image(jnp.asarray(px), image_size=16)
     expected = ((px + 1) / 2 - cc.CLIP_MEAN[None, :, None, None]) / cc.CLIP_STD[None, :, None, None]
     np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+
+
+def test_class_embedder(rng):
+    p = cc.init_class_embedder(jax.random.PRNGKey(0), embed_dim=16, n_classes=10)
+    labels = jnp.asarray([3, 7])
+    z = cc.class_embedding(p, labels)
+    assert z.shape == (2, 1, 16)
+    np.testing.assert_array_equal(np.asarray(z[0, 0]), np.asarray(p["embedding"][3]))
