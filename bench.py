@@ -198,12 +198,18 @@ def main():
     # accepted token; random-weight acceptance is the degenerate best
     # case (the face-grammar-trained bound is ~4.0 per row at window 8,
     # tests/test_lookahead.py), so these are fast-mode secondaries.
-    for attn, batch, metric, label in (
-        ("pallas", 8, "mesh_latency_800f_la8_b8", "bf16+lookahead W=8 B=8"),
-        ("pallas_int8", 16, "mesh_latency_800f_int8_la8_b16", "int8+lookahead W=8 B=16"),
+    # wq (int8 W8A8 decode weights, ops/wquant.py) halves the weight
+    # traffic that dominates small-batch latency.
+    for attn, batch, la, wq, metric, label in (
+        ("pallas", 8, 8, False, "mesh_latency_800f_la8_b8", "bf16+lookahead W=8 B=8"),
+        ("pallas_int8", 16, 8, False, "mesh_latency_800f_int8_la8_b16", "int8+lookahead W=8 B=16"),
+        ("pallas_int8", 1, 0, True, "mesh_latency_800f_w8a8_int8_b1", "w8a8+int8KV B=1"),
+        ("pallas_int8", 16, 8, True, "mesh_latency_800f_w8a8_int8_la8_b16", "w8a8+int8+lookahead W=8 B=16"),
     ):
         try:
-            runner_la = PhaseRunner(params, cfg, bucket=512, attn=attn, lookahead=8)
+            runner_la = PhaseRunner(params, cfg, bucket=512, attn=attn,
+                                    lookahead=la, wq=wq,
+                                    early_exit=(la > 0))
             pcb = jnp.asarray(rng.normal(
                 size=(batch, cfg.perceiver.num_points, 6)).astype(np.float32) * 0.5)
             per_la = run_config(runner_la, pcb, batch, label, gl)

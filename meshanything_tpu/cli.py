@@ -46,6 +46,9 @@ def get_args(argv=None):
     parser.add_argument("--attn", default="auto",
                         choices=["auto", "pallas", "pallas_int8", "xla"],
                         help="decode attention backend (pallas_int8 = fast int8 KV mode)")
+    parser.add_argument("--wq", default=False, action="store_true",
+                        help="int8 W8A8 decode weights (fast mode: halves weight "
+                             "HBM traffic at small batch; prefill/lm_head stay bf16)")
     parser.add_argument("--multihost", default=False, action="store_true",
                         help="join the jax.distributed process group and shard "
                              "folder inputs per host (no-op on one host) — the "
@@ -148,7 +151,7 @@ def main(argv=None):
 
     pipe = InferencePipeline(
         params, cfg, batch_size=args.batchsize_per_gpu, bucket=args.bucket,
-        attn=args.attn, lookahead=args.lookahead,
+        attn=args.attn, lookahead=args.lookahead, wq=args.wq,
     )
     begin = time.time()
     print("Generation Start!!!")

@@ -60,12 +60,16 @@ from meshanything_tpu.ops.kvcache import quantize_rows as _quantize_rows  # noqa
 def _window_step(params, cfg: ShapeOPTConfig, state: LookaheadState,
                  window: int, kv_slice_len: int, attn: str = "xla",
                  chunk: int = 512, interpret: bool = False,
-                 max_new_tokens: int | None = None):
+                 max_new_tokens: int | None = None, wq: bool = False):
     """One W-token forward + acceptance.
 
     attn="pallas": the multi-query flash-decoding kernel streams exactly
     the live context once for all W queries
-    (ops/decode_attention.py::decode_attention_mq_impl)."""
+    (ops/decode_attention.py::decode_attention_mq_impl).
+    wq: int8 W8A8 layer matrices (ops/wquant.py)."""
+    from meshanything_tpu.ops.wquant import lin_dispatch
+
+    lin_e = lin_dispatch(wq)
     b = state.steps.shape[0]
     w = window
     dtype = params["cond_embed"].dtype
@@ -87,7 +91,7 @@ def _window_step(params, cfg: ShapeOPTConfig, state: LookaheadState,
     def body(carry, p_and_idx):
         x, kv = carry
         p, layer_idx = p_and_idx
-        qkv = linear(x, p["qkv"]["w"], p["qkv"]["b"])
+        qkv = lin_e(x, p["qkv"])
         q, k, v = jnp.split(qkv, 3, axis=-1)              # (B, W, d)
 
         zero = jnp.zeros((), jnp.int32)
@@ -171,11 +175,11 @@ def _window_step(params, cfg: ShapeOPTConfig, state: LookaheadState,
             o = jnp.einsum("bhqs,bshd->bqhd", attn_w, vals, preferred_element_type=qh.dtype)
 
         residual = x
-        x = residual + linear(o.reshape(b, w, d_model), p["out"]["w"], p["out"]["b"])
+        x = residual + lin_e(o.reshape(b, w, d_model), p["out"])
         x = layer_norm(x, p["ln_attn"]["scale"], p["ln_attn"]["bias"], cfg.ln_eps)
         residual = x
-        x2 = jax.nn.relu(linear(x, p["fc1"]["w"], p["fc1"]["b"]))
-        x = residual + linear(x2, p["fc2"]["w"], p["fc2"]["b"])
+        x2 = jax.nn.relu(lin_e(x, p["fc1"]))
+        x = residual + lin_e(x2, p["fc2"])
         x = layer_norm(x, p["ln_ffn"]["scale"], p["ln_ffn"]["bias"], cfg.ln_eps)
         return (x, kv), None
 
@@ -247,6 +251,7 @@ def generate_lookahead(
     key: Optional[jax.Array] = None,
     attn: str = "auto",
     return_stats: bool = False,
+    wq: bool = False,
 ):
     """Greedy generation with lookahead. Token-identical to
     ``generate(..., sampling=False)`` in exact arithmetic (bf16 caveat
@@ -260,6 +265,12 @@ def generate_lookahead(
         attn = "pallas" if jax.default_backend() == "tpu" else "xla"
     interpret = attn.startswith("pallas") and jax.default_backend() != "tpu"
     b, c, _ = cond_embeds.shape
+    # int8 weights for the window forwards; prefill below stays bf16
+    dec_params = params
+    if wq:
+        from meshanything_tpu.ops.wquant import quantize_opt_layers
+
+        dec_params = dict(params, layers=quantize_opt_layers(params["layers"]))
     w = window
     s_max = -(-(c + max_new_tokens + w) // bucket) * bucket
 
@@ -299,9 +310,9 @@ def generate_lookahead(
 
         state = jax.lax.while_loop(
             cond_fn,
-            lambda st: _window_step(params, cfg, st, w, s_max, attn=attn,
+            lambda st: _window_step(dec_params, cfg, st, w, s_max, attn=attn,
                                     chunk=bucket, interpret=interpret,
-                                    max_new_tokens=max_new_tokens),
+                                    max_new_tokens=max_new_tokens, wq=wq),
             state,
         )
         if return_stats:
@@ -322,8 +333,8 @@ def generate_lookahead(
             return jnp.any(live) & (max_pos < _bend)
 
         def body_fn(st, _bend=bend):
-            return _window_step(params, cfg, st, w, _bend,
-                                max_new_tokens=max_new_tokens)
+            return _window_step(dec_params, cfg, st, w, _bend,
+                                max_new_tokens=max_new_tokens, wq=wq)
 
         state = jax.lax.while_loop(cond_fn, body_fn, state)
 
@@ -334,8 +345,8 @@ def generate_lookahead(
 
     state = jax.lax.while_loop(
         cond_fn,
-        lambda st: _window_step(params, cfg, st, w, s_max,
-                                max_new_tokens=max_new_tokens),
+        lambda st: _window_step(dec_params, cfg, st, w, s_max,
+                                max_new_tokens=max_new_tokens, wq=wq),
         state,
     )
 

@@ -89,12 +89,14 @@ def generate(
     bucket: int = 512,
     lookahead: int = 0,
     attn: str = "auto",
+    wq: bool = False,
 ) -> GenerateOutput:
     """Full inference pass (meshanything.py:134-176).
 
     pc_normal: (B, N, 6) normalized points+normals.
     lookahead > 0 enables Jacobi multi-token greedy decoding with that
     window size (exact; ignored when sampling).
+    wq: int8 W8A8 decode weights (fast mode, ops/wquant.py).
     """
     dtype = cfg.activation_dtype
     pc_normal = pc_normal.astype(dtype)
@@ -110,13 +112,13 @@ def generate(
         raw = generate_lookahead(
             params["opt"], cfg.opt, cond,
             max_new_tokens=cfg.generate_length,
-            window=lookahead, bucket=bucket, attn=attn,
+            window=lookahead, bucket=bucket, attn=attn, wq=wq,
         )
     else:
         raw = opt_mod.generate(
             params["opt"], cfg.opt, cond,
             max_new_tokens=cfg.generate_length,
-            key=key, sampling=sampling, bucket=bucket, attn=attn,
+            key=key, sampling=sampling, bucket=bucket, attn=attn, wq=wq,
         )
 
     ids = token_postprocess(cfg, raw)

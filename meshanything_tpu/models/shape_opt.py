@@ -247,7 +247,7 @@ def forward_full(
 
 
 def _opt_layer_decode(cfg: ShapeOPTConfig, kv_slice_len: int, attn: str = "xla",
-                      chunk: int = 512, interpret: bool = False):
+                      chunk: int = 512, interpret: bool = False, wq: bool = False):
     """Scan body for one decode step: single query token against the
     cache.
 
@@ -260,9 +260,14 @@ def _opt_layer_decode(cfg: ShapeOPTConfig, kv_slice_len: int, attn: str = "xla",
     attn="pallas": the flash-decoding kernel streams exactly
     ``write_pos+1`` cache rows from HBM (ops/decode_attention.py).
     attn="xla": slice a static ``kv_slice_len`` window (bucket bound).
+    wq: per-layer matrices are int8 (ops/wquant.py) — halves the
+    dominant weight traffic of small-batch decode.
     """
+    from meshanything_tpu.ops.wquant import lin_dispatch
+
     h = cfg.num_heads
     hd = cfg.head_dim
+    lin = lin_dispatch(wq)
 
     def body(carry, p_and_idx):
         x, kv, write_pos = carry
@@ -271,7 +276,7 @@ def _opt_layer_decode(cfg: ShapeOPTConfig, kv_slice_len: int, attn: str = "xla",
         d_model = h * hd
         residual = x
 
-        qkv = linear(x, p["qkv"]["w"], p["qkv"]["b"])
+        qkv = lin(x, p["qkv"])
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, 1, h, hd)
         # cache rows are flat (H*D,) — the layout contract of
@@ -331,11 +336,11 @@ def _opt_layer_decode(cfg: ShapeOPTConfig, kv_slice_len: int, attn: str = "xla",
             w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
             o = jnp.einsum("bhqs,bshd->bqhd", w, vals, preferred_element_type=q.dtype)
 
-        x = residual + linear(o.reshape(b, 1, h * hd).astype(x.dtype), p["out"]["w"], p["out"]["b"])
+        x = residual + lin(o.reshape(b, 1, h * hd).astype(x.dtype), p["out"])
         x = layer_norm(x, p["ln_attn"]["scale"], p["ln_attn"]["bias"], cfg.ln_eps)
         residual = x
-        x2 = jax.nn.relu(linear(x, p["fc1"]["w"], p["fc1"]["b"]))
-        x = residual + linear(x2, p["fc2"]["w"], p["fc2"]["b"])
+        x2 = jax.nn.relu(lin(x, p["fc1"]))
+        x = residual + lin(x2, p["fc2"])
         x = layer_norm(x, p["ln_ffn"]["scale"], p["ln_ffn"]["bias"], cfg.ln_eps)
         return (x, kv, write_pos), None
 
@@ -354,7 +359,7 @@ class DecodeState(NamedTuple):
 def _decode_step(params, cfg: ShapeOPTConfig, state: DecodeState, kv_slice_len: int,
                  *, sampling: bool, top_k: int, top_p: float, temperature: float,
                  attn: str = "xla", chunk: int = 512, interpret: bool = False,
-                 unroll: int = 1) -> DecodeState:
+                 unroll: int = 1, wq: bool = False) -> DecodeState:
     b = state.last_token.shape[0]
     dtype = params["cond_embed"].dtype
 
@@ -382,7 +387,8 @@ def _decode_step(params, cfg: ShapeOPTConfig, state: DecodeState, kv_slice_len: 
         )
         x = x_row[:, None]
     else:
-        body = _opt_layer_decode(cfg, kv_slice_len, attn=attn, chunk=chunk, interpret=interpret)
+        body = _opt_layer_decode(cfg, kv_slice_len, attn=attn, chunk=chunk,
+                                 interpret=interpret, wq=wq)
         layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
         (x, kv, _), _ = jax.lax.scan(
             lambda c, pkv: body(c, pkv),
@@ -422,6 +428,7 @@ def generate(
     early_exit: bool = True,
     attn: str = "auto",
     unroll: int = 1,
+    wq: bool = False,
 ) -> jax.Array:
     """Autoregressive generation: TPU-resident replacement for
     ``transformer.generate`` (meshanything.py:144-162).
@@ -443,9 +450,16 @@ def generate(
     attention reads the slice ``cache[:, :bucket_end]``, so early steps
     never touch the far end of the 7.5k-slot cache. All paths exit
     early once every row is done (tests/test_shape_opt.py).
+
+    wq=True (fast mode): the 24 layers' matrices run int8 W8A8 in the
+    decode loop (ops/wquant.py) — halves the dominant weight traffic of
+    small-batch decode. Prefill, embeddings and lm_head stay bf16.
+    Composes with attn="pallas"/"pallas_int8"/"xla".
     """
     if attn == "auto":
         attn = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if wq and attn == "megakernel":
+        raise ValueError("wq (int8 weights) does not compose with the megakernel path")
     interpret = (attn.startswith("pallas") or attn == "megakernel") \
         and jax.default_backend() != "tpu"
     b, c, _ = cond_embeds.shape
@@ -488,6 +502,15 @@ def generate(
 
     step_kw = dict(sampling=sampling, top_k=top_k, top_p=top_p, temperature=temperature)
 
+    # int8 weights: quantize the stacked layer matrices once per call
+    # (one 0.6 GB read, amortized over the ~7.2k-step decode); prefill
+    # above already ran on the bf16 originals.
+    dec_params = params
+    if wq:
+        from meshanything_tpu.ops.wquant import quantize_opt_layers
+
+        dec_params = dict(params, layers=quantize_opt_layers(params["layers"]))
+
     if attn.startswith("pallas") or attn == "megakernel":
         def cond_fn(st):
             live = st.step < max_new_tokens
@@ -496,9 +519,9 @@ def generate(
             return live
 
         def body_fn(st):
-            return _decode_step(params, cfg, st, s_max, attn=attn,
+            return _decode_step(dec_params, cfg, st, s_max, attn=attn,
                                 chunk=bucket, interpret=interpret,
-                                unroll=unroll, **step_kw)
+                                unroll=unroll, wq=wq, **step_kw)
 
         state = jax.lax.while_loop(cond_fn, body_fn, state)
         return state.tokens
@@ -520,7 +543,7 @@ def generate(
             return live
 
         def body_fn(st, _bend=bend):
-            return _decode_step(params, cfg, st, _bend, attn="xla", **step_kw)
+            return _decode_step(dec_params, cfg, st, _bend, attn="xla", wq=wq, **step_kw)
 
         state = jax.lax.while_loop(cond_fn, body_fn, state)
 

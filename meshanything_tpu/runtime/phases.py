@@ -71,7 +71,8 @@ class PhaseRunner:
     """Three compiled programs sharing the params tree."""
 
     def __init__(self, params, cfg: MeshAnythingConfig, *, bucket: int = 512,
-                 attn: str = "auto", early_exit: bool = True, lookahead: int = 0):
+                 attn: str = "auto", early_exit: bool = True, lookahead: int = 0,
+                 wq: bool = False):
         self.params = params
         self.cfg = cfg
         self.attn = attn
@@ -95,13 +96,13 @@ class PhaseRunner:
                 return generate_lookahead(
                     params["opt"], cfg.opt, cond,
                     max_new_tokens=cfg.generate_length,
-                    window=lookahead, bucket=bucket, attn=attn,
+                    window=lookahead, bucket=bucket, attn=attn, wq=wq,
                 )
             return opt_mod.generate(
                 params["opt"], cfg.opt, cond,
                 max_new_tokens=cfg.generate_length,
                 key=key, sampling=sampling, bucket=bucket,
-                early_exit=early_exit, attn=attn,
+                early_exit=early_exit, attn=attn, wq=wq,
             )
 
         @jax.jit

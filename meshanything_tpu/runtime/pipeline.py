@@ -93,6 +93,7 @@ class InferencePipeline:
         bucket: int = 512,
         attn: str = "auto",
         lookahead: int = 0,
+        wq: bool = False,
     ):
         self.cfg = cfg
         self.params = params
@@ -102,7 +103,7 @@ class InferencePipeline:
         from meshanything_tpu.runtime.phases import PhaseRunner
 
         self._runner = PhaseRunner(params, cfg, bucket=bucket, attn=attn,
-                                   lookahead=lookahead)
+                                   lookahead=lookahead, wq=wq)
         self._gen_greedy = lambda p, pc, k: self._runner(pc, sampling=False, key=k)
         self._gen_sample = lambda p, pc, k: self._runner(pc, sampling=True, key=k)
         self.timings: List[dict] = []
