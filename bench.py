@@ -204,7 +204,9 @@ def main():
         ("pallas", 8, 8, False, "mesh_latency_800f_la8_b8", "bf16+lookahead W=8 B=8"),
         ("pallas_int8", 16, 8, False, "mesh_latency_800f_int8_la8_b16", "int8+lookahead W=8 B=16"),
         ("pallas_int8", 1, 0, True, "mesh_latency_800f_w8a8_int8_b1", "w8a8+int8KV B=1"),
-        ("pallas_int8", 16, 8, True, "mesh_latency_800f_w8a8_int8_la8_b16", "w8a8+int8+lookahead W=8 B=16"),
+        # best single-mesh latency (w8a8 at large batch/lookahead adds
+        # nothing — weights are already amortized there, PERF.md)
+        ("pallas_int8", 1, 8, True, "mesh_latency_800f_w8a8_int8_la8_b1", "w8a8+int8+lookahead W=8 B=1"),
     ):
         try:
             runner_la = PhaseRunner(params, cfg, bucket=512, attn=attn,

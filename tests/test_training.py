@@ -181,3 +181,48 @@ def test_train_step_long_seq_remat_blockwise():
         state, metrics = step_fn(state, jnp.asarray(pc), jnp.asarray(ids), jnp.asarray(labels))
         assert np.isfinite(float(metrics["loss"]))
         assert int(state.step) == 1
+
+
+def test_grammar_batch_mask_padding():
+    """mask_padding labels exactly [bos, content, one eos] per row and
+    -100 elsewhere (the eos tail otherwise dominates 2/3 of the loss
+    mass and traps full-scale training in a structure-only attractor —
+    synthetic_grammar.py full_scale_probe)."""
+    from meshanything_tpu.training.synthetic_grammar import make_grammar_batch
+
+    cfg = small_test_config(n_max_triangles=20)
+    rng = np.random.default_rng(0)
+    pc, ids, labels = make_grammar_batch(cfg, rng, 2, k=4, mask_padding=True)
+    c = cfg.cond_length
+    for row in range(2):
+        assert np.all(labels[row, :c] == -100)
+        tail = labels[row, c:]
+        valid = tail != -100
+        n = int(valid.sum())
+        # contiguous prefix of labels, nothing after
+        assert np.all(valid[:n]) and not np.any(valid[n:])
+        assert tail[0] == cfg.opt.bos_token_id
+        assert tail[n - 1] == cfg.opt.eos_token_id
+        # exactly one labeled eos (the terminator)
+        assert int((tail[:n] == cfg.opt.eos_token_id).sum()) == 1
+        # ids themselves keep the eos prefill (generation contract)
+        assert ids[row, -1] == cfg.opt.eos_token_id
+
+
+def test_param_tree_npz_round_trip(tmp_path):
+    """_flatten_tree/_unflatten_tree preserve the nested param tree
+    through an npz file (the probe's trained-weights cache)."""
+    from meshanything_tpu.training.synthetic_grammar import (
+        _flatten_tree,
+        _unflatten_tree,
+    )
+
+    tree = {"a": {"b": np.arange(6.0).reshape(2, 3), "c": np.ones(4)},
+            "d": np.zeros((1, 2))}
+    path = tmp_path / "params.npz"
+    np.savez(path, **_flatten_tree(tree))
+    loaded = _unflatten_tree(dict(np.load(path)))
+    assert set(loaded) == {"a", "d"}
+    np.testing.assert_array_equal(loaded["a"]["b"], tree["a"]["b"])
+    np.testing.assert_array_equal(loaded["a"]["c"], tree["a"]["c"])
+    np.testing.assert_array_equal(loaded["d"], tree["d"])
