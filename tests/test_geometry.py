@@ -169,3 +169,37 @@ def test_mouse_npy_pipeline():
     assert pc.shape[0] >= 4096
     out = normalize_pc_cli(pc[:4096])
     assert out.shape == (4096, 6)
+
+
+def test_fix_normals_vectorized_matches_bfs_oracle():
+    """The scipy doubled-graph fix_normals must reproduce the BFS
+    reference on multi-component meshes with randomly broken winding
+    (including a component needing a whole-component volume flip)."""
+    from meshanything_tpu.geometry.postprocess import _fix_normals_bfs
+
+    rng = np.random.default_rng(7)
+    h = 0.5
+    cv = np.array([[-h, -h, -h], [h, -h, -h], [h, h, -h], [-h, h, -h],
+                   [-h, -h, h], [h, -h, h], [h, h, h], [-h, h, h]])
+    cf = np.array([[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+                   [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
+                   [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]])
+    V, F, off = [], [], 0
+    for i in range(4):
+        f = cf.copy()
+        flip = rng.random(len(f)) < 0.5
+        f[flip] = f[flip][:, ::-1]
+        if i == 3:
+            f = f[:, ::-1]  # fully inverted component: volume flip path
+        F.append(f + off)
+        V.append(cv + np.array([i * 3.0, 0.0, 0.0]))
+        off += len(cv)
+    V, F = np.concatenate(V), np.concatenate(F)
+
+    fixed = fix_normals(V, F)
+    oracle = _fix_normals_bfs(V, F)
+    np.testing.assert_array_equal(fixed, oracle)
+    # and the result is outward: positive total signed volume
+    tri = V[fixed]
+    vol = np.einsum("ij,ij->i", tri[:, 0], np.cross(tri[:, 1], tri[:, 2])).sum() / 6
+    assert vol > 3.9  # 4 unit cubes
