@@ -65,6 +65,7 @@ def _flash_decode_kernel(
     num_heads: int,
     window: int,
     quantized: bool,
+    depth: int,
 ):
     if quantized:
         kv_hbm, scale_hbm, o_ref, k_buf, v_buf, ks_buf, vs_buf, sem = refs
@@ -92,8 +93,12 @@ def _flash_decode_kernel(
             ]
         return copies
 
-    for dma in get_dma(0, 0):
-        dma.start()
+    # prologue: fill the pipeline depth-1 chunks deep
+    for pre in range(depth - 1):
+        @pl.when(pre < num_chunks)
+        def _(pre=pre):
+            for dma in get_dma(pre % depth, pre):
+                dma.start()
 
     qmat = qmat_ref[0].astype(jnp.float32) * scale                # (W*H, HD)
     wh, hd = qmat.shape
@@ -104,11 +109,12 @@ def _flash_decode_kernel(
 
     def body(i, carry):
         acc, m_prev, l_prev = carry               # (WH,HD), (WH,128), (WH,128)
-        slot = i % 2
+        slot = i % depth
 
-        @pl.when(i + 1 < num_chunks)
+        # issue the chunk depth-1 ahead into the slot freed by i-1
+        @pl.when(i + depth - 1 < num_chunks)
         def _():
-            for dma in get_dma((i + 1) % 2, i + 1):
+            for dma in get_dma((i + depth - 1) % depth, i + depth - 1):
                 dma.start()
 
         for dma in get_dma(slot, i):
@@ -160,8 +166,13 @@ def _flash_decode(
     *,
     chunk: int,
     interpret: bool,
+    depth: int = 2,
 ) -> jax.Array:
-    """Shared pallas_call builder; returns (B, W, H, D)."""
+    """Shared pallas_call builder; returns (B, W, H, D).
+
+    depth: DMA pipeline depth (buffer slots per stream). 2 = classic
+    double buffering; 3 keeps one extra chunk in flight to ride out
+    issue-latency gaps between chunks."""
     b, w, h, d = q.shape
     hd = h * d
     assert kv_values.shape[-1] == hd, (kv_values.shape, h, d)
@@ -177,8 +188,8 @@ def _flash_decode(
         pl.BlockSpec(memory_space=pltpu.HBM),
     ]
     scratch = [
-        pltpu.VMEM((2, chunk, hd), kv_values.dtype),
-        pltpu.VMEM((2, chunk, hd), kv_values.dtype),
+        pltpu.VMEM((depth, chunk, hd), kv_values.dtype),
+        pltpu.VMEM((depth, chunk, hd), kv_values.dtype),
     ]
     inputs = [
         jnp.asarray(base_lens, jnp.int32).reshape(b),
@@ -189,11 +200,11 @@ def _flash_decode(
     if quantized:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
         scratch += [
-            pltpu.VMEM((2, 1, chunk), jnp.float32),
-            pltpu.VMEM((2, 1, chunk), jnp.float32),
+            pltpu.VMEM((depth, 1, chunk), jnp.float32),
+            pltpu.VMEM((depth, 1, chunk), jnp.float32),
         ]
         inputs.append(kv_scales)
-    scratch.append(pltpu.SemaphoreType.DMA((2, 4 if quantized else 2)))
+    scratch.append(pltpu.SemaphoreType.DMA((depth, 4 if quantized else 2)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -205,7 +216,7 @@ def _flash_decode(
 
     kernel = functools.partial(
         _flash_decode_kernel, chunk=chunk, scale=scale,
-        num_heads=h, window=w, quantized=quantized,
+        num_heads=h, window=w, quantized=quantized, depth=depth,
     )
     out_full = pl.pallas_call(
         kernel,
@@ -230,6 +241,7 @@ def decode_attention_impl(
     *,
     chunk: int = 512,
     interpret: bool = False,
+    depth: int = 2,
 ) -> jax.Array:
     """Single-query cached attention. Plain (un-jitted) invocation for
     embedding inside larger compiled programs (the decode scan);
@@ -242,7 +254,7 @@ def decode_attention_impl(
     b = q.shape[0]
     base = jnp.broadcast_to(jnp.asarray(cur_len, jnp.int32) - 1, (b,))
     out = _flash_decode(q[:, None], kv_cache, None, layer, base,
-                        chunk=chunk, interpret=interpret)
+                        chunk=chunk, interpret=interpret, depth=depth)
     return out[:, 0]
 
 

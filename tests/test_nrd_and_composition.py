@@ -134,3 +134,37 @@ def test_forward_logits_shape(rng):
     toks = jnp.asarray(rng.integers(0, cfg.opt.vocab_size, size=(1, 12)).astype(np.int32))
     logits = ma.forward_logits(params, cfg, pc, toks)
     assert logits.shape == (1, cfg.cond_length + 12, cfg.opt.vocab_size)
+
+
+def test_v2_scale_1600_face_config_bounds():
+    """The reference successor (MeshAnything V2, README.md:52) raises the
+    face cap to 1600; the position tables here already carry headroom to
+    2000 faces (max_positions=18259 = 2000*9+259, meshanything.py:97;
+    max_faces_pos=18000, meshanything.py:27). A 1600-face config must
+    stay inside every embedding table on the full pipeline's index
+    paths."""
+    import dataclasses
+
+    from meshanything_tpu.config import MeshAnythingConfig, small_test_config
+
+    cfg = MeshAnythingConfig(n_max_triangles=1600)
+    # decoder absolute positions: cond + tokens + OPT's +2 offset
+    assert cfg.cond_length + cfg.generate_length + 2 <= cfg.opt.max_positions
+    # NRD face-position table covers every face slot
+    assert cfg.n_max_triangles <= cfg.nrd.max_faces_pos
+
+    # and the composed forward actually runs at a scaled-down analogue
+    # (same headroom ratio) on CPU
+    base = small_test_config(n_max_triangles=8)
+    big = dataclasses.replace(base, n_max_triangles=16)
+    assert big.cond_length + big.generate_length + 2 <= big.opt.max_positions
+    import jax
+
+    from meshanything_tpu.models import meshanything as ma
+
+    params = ma.init_meshanything_params(jax.random.PRNGKey(0), big)
+    rng = np.random.default_rng(0)
+    pc = jnp.asarray(rng.normal(size=(1, big.perceiver.num_points, 6)).astype(np.float32) * 0.5)
+    out = ma.generate(params, big, pc, bucket=16)
+    assert out.token_ids.shape == (1, big.generate_length)
+    assert out.face_coords.shape == (1, 16, 3, 3)
