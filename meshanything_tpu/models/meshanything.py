@@ -129,6 +129,68 @@ def generate(
     return GenerateOutput(face_coords=coords, token_ids=raw)
 
 
+def discretize_faces(cfg: MeshAnythingConfig, face_coords: jax.Array) -> jax.Array:
+    """Inverse of the NRD undiscretize (meshanything.py:214-223): clamp
+    [-0.5, 0.5) coords onto the discrete grid and add the +3 special
+    offset -> (B, nf*9) stream-order token ids."""
+    bins = cfg.nrd.discrete_num
+    disc = jnp.clip(jnp.floor((face_coords + 0.5) * bins), 0, bins - 1)
+    b = face_coords.shape[0]
+    return disc.astype(jnp.int32).reshape(b, -1) + 3
+
+
+def complete(
+    params: dict,
+    cfg: MeshAnythingConfig,
+    pc_normal: jax.Array,
+    partial_faces: jax.Array,
+    *,
+    sampling: bool = False,
+    key: Optional[jax.Array] = None,
+    bucket: int = 512,
+    attn: str = "auto",
+    wq: bool = False,
+) -> GenerateOutput:
+    """Mesh completion: continue autoregressive generation from a
+    partial face list conditioned on the full shape's point cloud.
+
+    partial_faces: (B, nf, 3, 3) float coords in [-0.5, 0.5) — e.g. the
+    first faces of an artist mesh to be extended. They are discretized
+    onto the token grid, prefilled as [bos ‖ face tokens] in one causal
+    pass, and the decoder continues from there; the prompt faces come
+    back at the front of the output stream.
+
+    Capability note: the reference could reach this through HF
+    ``generate(input_ids=...)`` (shape_opt.py:318-328 handles the
+    input_ids path) but never exposes it; here it is a first-class
+    entry next to ``generate``.
+    """
+    dtype = cfg.activation_dtype
+    pc_normal = pc_normal.astype(dtype)
+    b = pc_normal.shape[0]
+
+    point_feature = per_mod.encode_latents(params["perceiver"], cfg.perceiver, pc_normal)
+    cond = process_point_feature(params, cfg, point_feature)
+
+    face_tokens = discretize_faces(cfg, partial_faces)
+    bos = jnp.full((b, 1), cfg.opt.bos_token_id, jnp.int32)
+    prompt = jnp.concatenate([bos, face_tokens], axis=1)
+
+    raw = opt_mod.generate(
+        params["opt"], cfg.opt, cond,
+        max_new_tokens=cfg.generate_length,
+        key=key, sampling=sampling, bucket=bucket, attn=attn, wq=wq,
+        prompt_ids=prompt,
+    )
+
+    ids = token_postprocess(cfg, raw)
+    code_embeds = get_codes(params, cfg, ids)
+    coords = nrd_mod.decode_faces(
+        params["nrd"], cfg.nrd, ids, code_embeds.astype(dtype), point_feature
+    )
+    return GenerateOutput(face_coords=coords, token_ids=raw)
+
+
 def forward_logits(
     params: dict,
     cfg: MeshAnythingConfig,

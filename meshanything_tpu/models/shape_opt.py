@@ -192,6 +192,55 @@ def prefill(
     return logits.astype(jnp.float32), jnp.stack([ks, vs])
 
 
+def prefill_with_prompt(
+    params: dict,
+    cfg: ShapeOPTConfig,
+    cond_embeds: jax.Array,
+    token_ids: jax.Array,
+    kv_len: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Causal pass over [condition ‖ prompt tokens] emitting the KV
+    cache — the prompt-seeded prefill behind continuation / mesh
+    completion (``generate(prompt_ids=...)``).
+
+    Embedding semantics are identical to ``forward_full`` (same absolute
+    positions, face-phase ids, cond_embed 0/1 flags), so decoding from
+    this cache is token-identical to a generation whose first
+    ``token_ids.shape[1]`` steps had emitted the prompt themselves
+    (asserted in tests/test_shape_opt.py). The reference reaches the
+    same capability through HF ``generate``'s input_ids path
+    (shape_opt.py:318-328); its release never exercises it.
+
+    token_ids: (B, P) int32 in stream order — element 0 is the
+    (predicted-)bos slot, exactly as ``generate`` emits it.
+    Returns (logits_last (B, vocab) f32, kv (2, L, B, kv_len, H*D)).
+    """
+    b, c, _ = cond_embeds.shape
+    t = token_ids.shape[1]
+
+    cond_x = cond_embeds + params["cond_embed"][0].astype(cond_embeds.dtype)
+    tok = embed_tokens(params, cfg, token_ids).astype(cond_embeds.dtype)
+    gen_index = jnp.broadcast_to(jnp.arange(t), (b, t))
+    fids = face_phase_ids(token_ids, gen_index, cfg.face_per_token)
+    tok = tok + params["face_positions"][fids].astype(tok.dtype)
+    tok = tok + params["cond_embed"][1].astype(tok.dtype)
+
+    x = jnp.concatenate([cond_x, tok], axis=1)
+    positions = jnp.arange(c + t) + cfg.pos_offset
+    x = x + params["embed_positions"][positions].astype(x.dtype)
+
+    body = _opt_layer_prefill(cfg)
+    x, (ks, vs) = jax.lax.scan(lambda h, p: body(h, p), x, params["layers"])
+    n = c + t
+    lcnt = ks.shape[0]
+    ks = ks.reshape(lcnt, b, n, cfg.hidden_size)
+    vs = vs.reshape(lcnt, b, n, cfg.hidden_size)
+    ks = jnp.pad(ks, ((0, 0), (0, 0), (0, kv_len - n), (0, 0)))
+    vs = jnp.pad(vs, ((0, 0), (0, 0), (0, kv_len - n), (0, 0)))
+    logits = linear(x[:, -1], params["lm_head"]["w"])
+    return logits.astype(jnp.float32), jnp.stack([ks, vs])
+
+
 def forward_full(
     params: dict,
     cfg: ShapeOPTConfig,
@@ -429,6 +478,7 @@ def generate(
     attn: str = "auto",
     unroll: int = 1,
     wq: bool = False,
+    prompt_ids: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Autoregressive generation: TPU-resident replacement for
     ``transformer.generate`` (meshanything.py:144-162).
@@ -436,6 +486,13 @@ def generate(
     Returns (B, max_new_tokens) int32, eos-prefilled past the stop point
     (matching the reference's eos-filled output buffer,
     meshanything.py:142,163-164).
+
+    prompt_ids (B, P): continue from a token prefix (stream order:
+    element 0 is the bos slot). The prefix is prefilled causally in one
+    pass (``prefill_with_prompt``) and echoed into the output; the
+    continuation is token-identical to a generation whose first P steps
+    had emitted the prefix (tested). Powers mesh completion
+    (models/meshanything.py::complete).
 
     Execution: prefill writes the cache, then the decode loop runs
     fully on-device.
@@ -463,36 +520,49 @@ def generate(
     interpret = (attn.startswith("pallas") or attn == "megakernel") \
         and jax.default_backend() != "tpu"
     b, c, _ = cond_embeds.shape
+    p_len = 0 if prompt_ids is None else prompt_ids.shape[1]
+    if p_len >= max_new_tokens:
+        raise ValueError(f"prompt length {p_len} must be < max_new_tokens={max_new_tokens}")
     # pad the cache to a chunk multiple: the flash-decode kernel DMAs
     # whole chunks, so the last chunk must not run past the buffer
     s_max = -(-(c + max_new_tokens) // bucket) * bucket
     if key is None:
         key = jax.random.PRNGKey(0)
 
+    def _prefill(kv_len):
+        if prompt_ids is None:
+            return prefill(params, cfg, cond_embeds, kv_len)
+        return prefill_with_prompt(params, cfg, cond_embeds,
+                                   jnp.asarray(prompt_ids, jnp.int32), kv_len)
+
     if attn == "pallas_int8":
-        # quantize the compact condition-length cache, THEN pad to
+        # quantize the compact prefix-length cache, THEN pad to
         # s_max — padding the bf16 cache first would materialize the
         # full-length bf16 buffer (12 GB at B=16) before quantization
         from meshanything_tpu.ops.kvcache import quantize_rows
 
-        logits0, kv_c = prefill(params, cfg, cond_embeds, c)
-        values, row_scale = quantize_rows(kv_c)             # (..., C, 1) scales
-        scales = jnp.transpose(row_scale, (0, 1, 2, 4, 3))  # (2, L, B, 1, C)
-        values = jnp.pad(values, ((0, 0), (0, 0), (0, 0), (0, s_max - c), (0, 0)))
-        scales = jnp.pad(scales, ((0, 0), (0, 0), (0, 0), (0, 0), (0, s_max - c)),
+        plen = c + p_len
+        logits0, kv_c = _prefill(plen)
+        values, row_scale = quantize_rows(kv_c)             # (..., plen, 1) scales
+        scales = jnp.transpose(row_scale, (0, 1, 2, 4, 3))  # (2, L, B, 1, plen)
+        values = jnp.pad(values, ((0, 0), (0, 0), (0, 0), (0, s_max - plen), (0, 0)))
+        scales = jnp.pad(scales, ((0, 0), (0, 0), (0, 0), (0, 0), (0, s_max - plen)),
                          constant_values=1.0)
         kv = (values, scales)
     else:
-        logits0, kv = prefill(params, cfg, cond_embeds, s_max)
+        logits0, kv = _prefill(s_max)
     key, subkey = jax.random.split(key)
     first = sample_token(
         subkey, logits0, sampling=sampling, top_k=top_k, top_p=top_p, temperature=temperature
     )
 
     tokens = jnp.full((b, max_new_tokens), cfg.eos_token_id, jnp.int32)
-    tokens = tokens.at[:, 0].set(first)
+    if p_len:
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, jnp.asarray(prompt_ids, jnp.int32), (0, 0))
+    tokens = tokens.at[:, p_len].set(first)
     state = DecodeState(
-        step=jnp.asarray(1, jnp.int32),
+        step=jnp.asarray(p_len + 1, jnp.int32),
         tokens=tokens,
         kv=kv,
         done=first == cfg.eos_token_id,

@@ -168,3 +168,37 @@ def test_v2_scale_1600_face_config_bounds():
     out = ma.generate(params, big, pc, bucket=16)
     assert out.token_ids.shape == (1, big.generate_length)
     assert out.face_coords.shape == (1, 16, 3, 3)
+
+
+def test_mesh_completion_continues_prompt(rng):
+    """ma.complete: partial faces are discretized, echoed at the front of
+    the stream, and the continuation matches plain generation seeded
+    with the same prefix (mesh-completion capability)."""
+    import jax
+
+    from meshanything_tpu.config import small_test_config
+    from meshanything_tpu.models import meshanything as ma
+
+    cfg = small_test_config(n_max_triangles=4)
+    params = ma.init_meshanything_params(jax.random.PRNGKey(0), cfg)
+    pc = jnp.asarray(rng.normal(size=(1, cfg.perceiver.num_points, 6)).astype(np.float32) * 0.5)
+
+    # one partial face on the discrete grid
+    bins = cfg.nrd.discrete_num
+    grid = (rng.integers(0, bins, size=(1, 1, 3, 3)) + 0.5) / bins - 0.5
+    partial = jnp.asarray(grid.astype(np.float32))
+
+    out = ma.complete(params, cfg, pc, partial, bucket=16)
+    assert out.token_ids.shape == (1, cfg.generate_length)
+    assert out.face_coords.shape == (1, cfg.n_max_triangles, 3, 3)
+
+    # prompt echo: bos + the discretized face tokens
+    toks = np.asarray(ma.discretize_faces(cfg, partial))[0]
+    raw = np.asarray(out.token_ids)[0]
+    assert raw[0] == cfg.opt.bos_token_id
+    np.testing.assert_array_equal(raw[1:1 + toks.size], toks)
+
+    # round trip: discretize(undiscretize-grid coords) is lossless
+    np.testing.assert_allclose(
+        (toks.reshape(3, 3) - 3 + 0.5) / bins - 0.5, np.asarray(partial)[0, 0],
+        atol=1e-6)

@@ -209,3 +209,38 @@ def test_sampling_filters_match_hf():
     np.testing.assert_array_equal(np.isinf(ours), np.isinf(hf))
     finite = ~np.isinf(hf)
     np.testing.assert_allclose(ours[finite], hf[finite], atol=1e-6)
+
+
+@pytest.mark.parametrize("attn", ["xla", "pallas", "pallas_int8"])
+def test_prompt_seeded_generate_matches_plain(rng, attn):
+    """generate(prompt_ids=plain[:, :P]) must reproduce plain greedy's
+    stream exactly: the one-pass prompt prefill (prefill_with_prompt)
+    is position/phase-identical to having decoded the prefix token by
+    token."""
+    params = sopt.init_shape_opt_params(jax.random.PRNGKey(3), CFG)
+    b = 2
+    cond = jnp.asarray(
+        rng.normal(size=(b, CFG.cond_length, CFG.hidden_size)).astype(np.float32) * 0.5)
+
+    plain = np.asarray(sopt.generate(
+        params, CFG, cond, max_new_tokens=24, bucket=16, attn=attn))
+    for p_len in (1, 7):
+        prompt = jnp.asarray(plain[:, :p_len])
+        seeded = np.asarray(sopt.generate(
+            params, CFG, cond, max_new_tokens=24, bucket=16, attn=attn,
+            prompt_ids=prompt))
+        for row in range(b):
+            eos = np.where(plain[row] == CFG.eos_token_id)[0]
+            limit = (eos[0] + 1) if len(eos) else plain.shape[1]
+            np.testing.assert_array_equal(
+                seeded[row, :limit], plain[row, :limit],
+                err_msg=f"attn={attn} p_len={p_len} row={row}")
+
+
+def test_prompt_seeded_generate_rejects_overlong_prompt(rng):
+    params = sopt.init_shape_opt_params(jax.random.PRNGKey(3), CFG)
+    cond = jnp.asarray(
+        rng.normal(size=(1, CFG.cond_length, CFG.hidden_size)).astype(np.float32))
+    with pytest.raises(ValueError, match="prompt length"):
+        sopt.generate(params, CFG, cond, max_new_tokens=4, bucket=16,
+                      prompt_ids=jnp.zeros((1, 4), jnp.int32))
