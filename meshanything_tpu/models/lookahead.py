@@ -252,6 +252,7 @@ def generate_lookahead(
     attn: str = "auto",
     return_stats: bool = False,
     wq: bool = False,
+    prompt_ids: Optional[jax.Array] = None,
 ):
     """Greedy generation with lookahead. Token-identical to
     ``generate(..., sampling=False)`` in exact arithmetic (bf16 caveat
@@ -260,11 +261,18 @@ def generate_lookahead(
     forwards executed and the per-row emitted token counts, so callers
     can compute the measured acceptance rate
     (sum(emitted - 1) / iterations; the prefill emits the first token).
+
+    prompt_ids (B, P): continue from a token prefix (see
+    shape_opt.generate) — the prefix is prefilled in one causal pass
+    and echoed into the output; stats count only continuation tokens.
     """
     if attn == "auto":
         attn = "pallas" if jax.default_backend() == "tpu" else "xla"
     interpret = attn.startswith("pallas") and jax.default_backend() != "tpu"
     b, c, _ = cond_embeds.shape
+    p_len = 0 if prompt_ids is None else prompt_ids.shape[1]
+    if p_len >= max_new_tokens:
+        raise ValueError(f"prompt length {p_len} must be < max_new_tokens={max_new_tokens}")
     # int8 weights for the window forwards; prefill below stays bf16
     dec_params = params
     if wq:
@@ -274,25 +282,37 @@ def generate_lookahead(
     w = window
     s_max = -(-(c + max_new_tokens + w) // bucket) * bucket
 
+    def _prefill(kv_len):
+        if prompt_ids is None:
+            return prefill(params, cfg, cond_embeds, kv_len)
+        from meshanything_tpu.models.shape_opt import prefill_with_prompt
+
+        return prefill_with_prompt(params, cfg, cond_embeds,
+                                   jnp.asarray(prompt_ids, jnp.int32), kv_len)
+
     if attn == "pallas_int8":
-        # quantize the compact condition-length cache, THEN pad (same
+        # quantize the compact prefix-length cache, THEN pad (same
         # order as shape_opt.generate — padding bf16 first would
         # materialize the full-length bf16 buffer)
-        logits0, kv_c = prefill(params, cfg, cond_embeds, c)
-        kq, s_rows = _quantize_rows(kv_c)                  # (..., C, int8), (..., C, 1)
-        values = jnp.pad(kq, ((0, 0), (0, 0), (0, 0), (0, s_max - c), (0, 0)))
-        scales = jnp.transpose(s_rows, (0, 1, 2, 4, 3))    # (2, L, B, 1, C)
-        scales = jnp.pad(scales, ((0, 0), (0, 0), (0, 0), (0, 0), (0, s_max - c)),
+        plen = c + p_len
+        logits0, kv_c = _prefill(plen)
+        kq, s_rows = _quantize_rows(kv_c)                  # (..., plen, int8), (..., plen, 1)
+        values = jnp.pad(kq, ((0, 0), (0, 0), (0, 0), (0, s_max - plen), (0, 0)))
+        scales = jnp.transpose(s_rows, (0, 1, 2, 4, 3))    # (2, L, B, 1, plen)
+        scales = jnp.pad(scales, ((0, 0), (0, 0), (0, 0), (0, 0), (0, s_max - plen)),
                          constant_values=1.0)
         kv = (values, scales)
     else:
-        logits0, kv = prefill(params, cfg, cond_embeds, s_max)
+        logits0, kv = _prefill(s_max)
     first = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
 
     tokens = jnp.full((b, max_new_tokens + w), cfg.eos_token_id, jnp.int32)
-    tokens = tokens.at[:, 0].set(first)
+    if p_len:
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, jnp.asarray(prompt_ids, jnp.int32), (0, 0))
+    tokens = tokens.at[:, p_len].set(first)
     state = LookaheadState(
-        steps=jnp.ones((b,), jnp.int32),
+        steps=jnp.full((b,), p_len + 1, jnp.int32),
         tokens=tokens,
         kv=kv,
         done=first == cfg.eos_token_id,
@@ -317,7 +337,7 @@ def generate_lookahead(
         )
         if return_stats:
             return state.tokens[:, :max_new_tokens], {
-                "iterations": state.iters, "emitted": state.steps}
+                "iterations": state.iters, "emitted": state.steps - p_len}
         return state.tokens[:, :max_new_tokens]
 
     # XLA path: bucket schedule on the *max* live position across rows
@@ -352,5 +372,5 @@ def generate_lookahead(
 
     if return_stats:
         return state.tokens[:, :max_new_tokens], {
-            "iterations": state.iters, "emitted": state.steps}
+            "iterations": state.iters, "emitted": state.steps - p_len}
     return state.tokens[:, :max_new_tokens]

@@ -148,6 +148,7 @@ def complete(
     sampling: bool = False,
     key: Optional[jax.Array] = None,
     bucket: int = 512,
+    lookahead: int = 0,
     attn: str = "auto",
     wq: bool = False,
 ) -> GenerateOutput:
@@ -176,12 +177,22 @@ def complete(
     bos = jnp.full((b, 1), cfg.opt.bos_token_id, jnp.int32)
     prompt = jnp.concatenate([bos, face_tokens], axis=1)
 
-    raw = opt_mod.generate(
-        params["opt"], cfg.opt, cond,
-        max_new_tokens=cfg.generate_length,
-        key=key, sampling=sampling, bucket=bucket, attn=attn, wq=wq,
-        prompt_ids=prompt,
-    )
+    if lookahead > 0 and not sampling:
+        from meshanything_tpu.models.lookahead import generate_lookahead
+
+        raw = generate_lookahead(
+            params["opt"], cfg.opt, cond,
+            max_new_tokens=cfg.generate_length,
+            window=lookahead, bucket=bucket, attn=attn, wq=wq,
+            prompt_ids=prompt,
+        )
+    else:
+        raw = opt_mod.generate(
+            params["opt"], cfg.opt, cond,
+            max_new_tokens=cfg.generate_length,
+            key=key, sampling=sampling, bucket=bucket, attn=attn, wq=wq,
+            prompt_ids=prompt,
+        )
 
     ids = token_postprocess(cfg, raw)
     code_embeds = get_codes(params, cfg, ids)

@@ -135,3 +135,25 @@ def test_lookahead_acceptance_on_trained_grammar(rng):
     assert stats["acceptance"] > 2.0, stats
     # f32 lookahead is exact vs plain greedy
     assert stats["agreement"] > 0.99, stats
+
+
+@pytest.mark.parametrize("attn", ["xla", "pallas"])
+def test_lookahead_prompt_seeded_matches_plain(rng, attn):
+    """Lookahead with prompt_ids must reproduce plain greedy seeded with
+    the same prefix (mesh completion at lookahead speed)."""
+    params = sopt.init_shape_opt_params(jax.random.PRNGKey(3), CFG)
+    cond = jnp.asarray(rng.normal(size=(2, CFG.cond_length, CFG.hidden_size)).astype(np.float32) * 0.5)
+
+    plain = np.asarray(sopt.generate(params, CFG, cond, max_new_tokens=24, bucket=16, attn="xla"))
+    prompt = jnp.asarray(plain[:, :5])
+    look, stats = generate_lookahead(
+        params, CFG, cond, max_new_tokens=24, window=4, bucket=16, attn=attn,
+        prompt_ids=prompt, return_stats=True)
+    look = np.asarray(look)
+    for row in range(2):
+        eos = np.where(plain[row] == CFG.eos_token_id)[0]
+        limit = (eos[0] + 1) if len(eos) else plain.shape[1]
+        np.testing.assert_array_equal(look[row, :limit], plain[row, :limit],
+                                      err_msg=f"attn={attn} row={row}")
+    # stats count continuation tokens only (prompt excluded)
+    assert int(np.asarray(stats["emitted"]).max()) <= 24 - 5
