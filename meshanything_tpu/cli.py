@@ -49,6 +49,11 @@ def get_args(argv=None):
     parser.add_argument("--wq", default=False, action="store_true",
                         help="int8 W8A8 decode weights (fast mode: halves weight "
                              "HBM traffic at small batch; prefill/lm_head stay bf16)")
+    parser.add_argument("--complete_from", default=None, type=str,
+                        help="partial mesh (OBJ/PLY, model output space "
+                             "[-0.5,0.5)) whose faces seed the decoder — "
+                             "mesh completion: the generation continues "
+                             "the given faces (models/meshanything.py::complete)")
     parser.add_argument("--multihost", default=False, action="store_true",
                         help="join the jax.distributed process group and shard "
                              "folder inputs per host (no-op on one host) — the "
@@ -149,6 +154,21 @@ def main(argv=None):
     )
     print(f"dataset total data samples: {len(samples)}")
 
+    prompt_tokens = None
+    if args.complete_from:
+        import numpy as np
+
+        from meshanything_tpu.geometry import load_mesh
+        from meshanything_tpu.geometry.normalize import discretize
+
+        partial = load_mesh(args.complete_from)
+        face_coords = partial.vertices[partial.faces]          # (nf, 3, 3)
+        toks = discretize(face_coords, num_discrete=cfg.nrd.discrete_num)
+        prompt_tokens = np.concatenate(
+            [[cfg.opt.bos_token_id], toks.reshape(-1) + 3]).astype(np.int32)
+        print(f"mesh completion: seeding {len(partial.faces)} faces "
+              f"({len(prompt_tokens)} tokens) from {args.complete_from}")
+
     pipe = InferencePipeline(
         params, cfg, batch_size=args.batchsize_per_gpu, bucket=args.bucket,
         attn=args.attn, lookahead=args.lookahead, wq=args.wq,
@@ -156,7 +176,7 @@ def main(argv=None):
     begin = time.time()
     print("Generation Start!!!")
     results = pipe.run(samples, out_dir, sampling=args.sampling, seed=args.seed,
-                       resume=args.resume)
+                       resume=args.resume, prompt_tokens=prompt_tokens)
     for r in results:
         print(f"{r.get('obj_path', r['uid'])} Over!!")
     print(f"Total time: {time.time() - begin}")

@@ -105,6 +105,28 @@ class PhaseRunner:
                 early_exit=early_exit, attn=attn, wq=wq,
             )
 
+        @functools.partial(jax.jit, static_argnames=("sampling",))
+        def decode_prompt(params, cond, key, sampling, prompt_ids):
+            # prompt-seeded continuation (mesh completion); compiled per
+            # prompt length — the completion path is a one-off, not the
+            # folder-inference hot loop
+            if lookahead > 0 and not sampling:
+                from meshanything_tpu.models.lookahead import generate_lookahead
+
+                return generate_lookahead(
+                    params["opt"], cfg.opt, cond,
+                    max_new_tokens=cfg.generate_length,
+                    window=lookahead, bucket=bucket, attn=attn, wq=wq,
+                    prompt_ids=prompt_ids,
+                )
+            return opt_mod.generate(
+                params["opt"], cfg.opt, cond,
+                max_new_tokens=cfg.generate_length,
+                key=key, sampling=sampling, bucket=bucket,
+                early_exit=early_exit, attn=attn, wq=wq,
+                prompt_ids=prompt_ids,
+            )
+
         @jax.jit
         def detok(params, raw, pf):
             ids = ma.token_postprocess(cfg, raw)
@@ -115,10 +137,12 @@ class PhaseRunner:
 
         self._encode = encode
         self._decode = decode
+        self._decode_prompt = decode_prompt
         self._detok = detok
 
     def __call__(self, pc_normal: jax.Array, *, sampling: bool = False,
-                 key: Optional[jax.Array] = None, timer=None):
+                 key: Optional[jax.Array] = None, timer=None,
+                 prompt_ids: Optional[jax.Array] = None):
         if jax.default_backend() == "tpu":
             check_memory_budget(
                 self.cfg, pc_normal.shape[0], self.bucket, self.attn,
@@ -144,7 +168,11 @@ class PhaseRunner:
             pf, cond = self._encode(self.params, pc_normal)
             fence(cond)
         with phase("decode"):
-            raw = self._decode(self.params, cond, key, sampling)
+            if prompt_ids is not None:
+                raw = self._decode_prompt(self.params, cond, key, sampling,
+                                          jnp.asarray(prompt_ids, jnp.int32))
+            else:
+                raw = self._decode(self.params, cond, key, sampling)
             fence(raw)
         with phase("detok"):
             coords = self._detok(self.params, raw, pf)

@@ -118,6 +118,7 @@ class InferencePipeline:
         export: bool = True,
         resume: bool = False,
         max_retries: int = 1,
+        prompt_tokens: np.ndarray | None = None,
     ) -> List[dict]:
         """Run generation over samples.
 
@@ -126,6 +127,10 @@ class InferencePipeline:
         times, then recorded as a failure record — folder inference
         survives a flaky accelerator. ``resume=True`` skips samples
         whose output OBJ already exists, making reruns incremental.
+
+        prompt_tokens (P,): mesh-completion prefix in stream order
+        ([bos, face tokens...]) applied to every sample — the CLI's
+        ``--complete_from`` path.
         """
         os.makedirs(out_dir, exist_ok=True)
         samples = list(samples)
@@ -148,7 +153,14 @@ class InferencePipeline:
                 pcs = np.concatenate([pcs, np.repeat(pcs[-1:], pad, axis=0)])
 
             key = jax.random.fold_in(jax.random.PRNGKey(seed), start)
-            fn = self._gen_sample if sampling else self._gen_greedy
+            if prompt_tokens is not None:
+                prompt = jnp.asarray(
+                    np.broadcast_to(np.asarray(prompt_tokens, np.int32)[None],
+                                    (bs, len(prompt_tokens))))
+                fn = (lambda p, pc, k: self._runner(pc, sampling=sampling, key=k,
+                                                    prompt_ids=prompt))
+            else:
+                fn = self._gen_sample if sampling else self._gen_greedy
             t0 = time.time()
             coords = None
             last_err = None

@@ -82,3 +82,16 @@ def test_load_inputs_mesh(tmp_path, cfg):
     samples = load_inputs("mesh", [str(path)], num_points=cfg.perceiver.num_points)
     assert samples[0].pc_normal.shape == (cfg.perceiver.num_points, 6)
     assert samples[0].uid == "cube"
+
+
+def test_pipeline_mesh_completion(pipe, cfg, tmp_path, rng):
+    """--complete_from path: prompt tokens are echoed at the front of
+    the generated stream for every sample."""
+    samples = [
+        Sample(pc_normal=rng.normal(size=(cfg.perceiver.num_points, 6)).astype(np.float16), uid="x")
+    ]
+    bins = cfg.nrd.discrete_num
+    toks = rng.integers(3, bins + 3, size=9).astype(np.int32)  # one face
+    prompt = np.concatenate([[cfg.opt.bos_token_id], toks]).astype(np.int32)
+    res = pipe.run(samples, str(tmp_path), prompt_tokens=prompt, export=False)
+    assert len(res) == 1 and "error" not in res[0]
