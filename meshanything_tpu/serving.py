@@ -57,6 +57,7 @@ class ServingEngine:
         if runner is None:
             runner = PhaseRunner(params, cfg, bucket=bucket, attn=attn,
                                  lookahead=lookahead)
+        self._runner = runner
         self._greedy = lambda p, pc, k: runner(pc, sampling=False, key=k)
         self._sample = lambda p, pc, k: runner(pc, sampling=True, key=k)
 
@@ -69,7 +70,12 @@ class ServingEngine:
         do_sampling: bool = False,
         do_marching_cubes: bool = False,
         export_artifacts: bool = True,
+        partial_faces: np.ndarray | None = None,
     ):
+        """partial_faces (nf, 3, 3), model output space [-0.5, 0.5):
+        mesh completion — the decoder is seeded with [bos ‖ discretized
+        faces] and continues them (models/meshanything.py::complete
+        semantics through the phase runner)."""
         from meshanything_tpu.geometry import (
             Mesh,
             faces_to_mesh,
@@ -118,8 +124,20 @@ class ServingEngine:
 
         jax = self._jax
         key = jax.random.PRNGKey(seed)
-        fn = self._sample if do_sampling else self._greedy
-        out = fn(self.params, np.asarray(pc_normal, np.float32)[None], key)
+        pc_in = np.asarray(pc_normal, np.float32)[None]
+        if partial_faces is not None:
+            from meshanything_tpu.geometry.normalize import discretize
+
+            toks = discretize(np.asarray(partial_faces, np.float64),
+                              num_discrete=self.cfg.nrd.discrete_num)
+            prompt = np.concatenate(
+                [[self.cfg.opt.bos_token_id], toks.reshape(-1) + 3]
+            ).astype(np.int32)[None]
+            out = self._runner(pc_in, sampling=do_sampling, key=key,
+                               prompt_ids=prompt)
+        else:
+            fn = self._sample if do_sampling else self._greedy
+            out = fn(self.params, pc_in, key)
         coords = np.asarray(out.face_coords.astype(np.float32))[0]
 
         # output cleanup + orange vertex / brown face colors (app.py:144-168)
@@ -212,6 +230,9 @@ def _make_handler(engine: ServingEngine):
                 sampling = self.headers.get("X-Sampling", "0") == "1"
                 mc = self.headers.get("X-MC", "0") == "1"
                 want_json = "application/json" in (self.headers.get("Accept") or "")
+                # mesh completion: base64 OBJ of a partial mesh in model
+                # output space; its faces seed the decoder
+                partial_b64 = self.headers.get("X-Partial-Obj-B64")
 
                 # body is a raw OBJ (API mode). multipart form uploads also
                 # land here; extract the file part if present.
@@ -230,9 +251,18 @@ def _make_handler(engine: ServingEngine):
 
                 mesh = load_mesh(path)
                 os.unlink(path)
+                partial_faces = None
+                if partial_b64:
+                    with tempfile.NamedTemporaryFile(suffix=".obj", delete=False) as fh:
+                        fh.write(base64.b64decode(partial_b64))
+                        ppath = fh.name
+                    pmesh = load_mesh(ppath)
+                    os.unlink(ppath)
+                    partial_faces = pmesh.vertices[pmesh.faces]
                 result = engine.generate_from_mesh(
                     mesh.vertices, mesh.faces,
                     seed=seed, do_sampling=sampling, do_marching_cubes=mc,
+                    partial_faces=partial_faces,
                 )
 
                 def read_text(p):

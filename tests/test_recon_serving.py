@@ -145,3 +145,43 @@ def test_engine_exports_timestamped_artifacts(tmp_path, rng):
     np.testing.assert_array_equal(result["input_mesh"].vertex_colors[0], [255, 165, 0, 255])
     np.testing.assert_array_equal(result["mesh"].face_colors[0] if len(result["mesh"].faces) else [165, 42, 42, 255],
                                   [165, 42, 42, 255])
+
+
+def test_serving_http_completion(tmp_path, rng):
+    """Mesh completion over HTTP: X-Partial-Obj-B64 seeds the decoder
+    and the stream echoes the discretized partial faces."""
+    import base64
+
+    from http.server import ThreadingHTTPServer
+
+    from meshanything_tpu.serving import ServingEngine, _make_handler
+
+    cfg = small_test_config(n_max_triangles=2)
+    params = ma.init_meshanything_params(jax.random.PRNGKey(0), cfg)
+    engine = ServingEngine(params, cfg, bucket=16, artifacts_dir=str(tmp_path / "a"))
+
+    # direct engine path first (shared by gradio + HTTP)
+    v = rng.normal(size=(8, 3)) * 0.2
+    f = np.array([[0, 1, 2], [3, 4, 5]])
+    partial = v[np.array([[0, 1, 2]])]  # one face, model space
+    res = engine.generate_from_mesh(v, f, partial_faces=partial,
+                                    export_artifacts=False)
+    assert res["faces_generated"] >= 0
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(engine))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = _cube_obj_bytes(tmp_path)
+        partial_obj = (b"v -0.2 0.0 -0.2\nv 0.2 0.0 -0.2\nv 0.0 0.1 0.2\nf 1 2 3\n")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=body, method="POST",
+            headers={"X-Seed": "0",
+                     "X-Partial-Obj-B64": base64.b64encode(partial_obj).decode()},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            assert "X-Faces-Generated" in r.headers
+    finally:
+        server.shutdown()
