@@ -112,16 +112,14 @@ def train_on_grammar(cfg: MeshAnythingConfig, steps: int = 200, batch: int = 8,
     from meshanything_tpu.training.train import TrainState, loss_fn
 
     params = ma.init_meshanything_params(jax.random.PRNGKey(seed), cfg)
-    # clip + warmup: without clipping the fast-learning regime (lr
-    # >=2e-4 at 350M) reaches loss ~1.2 by step 50 then explodes; with a
-    # low enough lr to stay stable it instead gets trapped in the
-    # unigram-marginal plateau (~3.0). Measured on the full-scale probe.
-    schedule = optax.warmup_cosine_decay_schedule(
-        init_value=0.0, peak_value=lr, warmup_steps=min(50, max(steps // 10, 1)),
-        decay_steps=max(steps, 2), end_value=lr * 0.1)
-    optimizer = optax.chain(
-        optax.clip_by_global_norm(1.0),
-        optax.adamw(schedule, b1=0.9, b2=0.95, eps=1e-8, weight_decay=1e-2))
+    # clip + warmup-cosine (training/optim.py): without clipping the
+    # fast-learning regime (lr >=2e-4 at 350M) reaches loss ~1.2 by
+    # step 50 then explodes; with a low enough lr to stay stable it
+    # instead gets trapped in the unigram-marginal plateau (~3.0).
+    # Measured on the full-scale probe.
+    from meshanything_tpu.training.optim import make_optimizer
+
+    optimizer = make_optimizer(lr, steps=steps)
     state = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
 
     import functools

@@ -28,10 +28,16 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
-def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2) -> optax.GradientTransformation:
-    # AdamW betas/eps mirror the Michelangelo recipe
-    # (shapevae-256.yaml:33-38); applied to the full composition.
-    return optax.adamw(lr, b1=0.9, b2=0.99, eps=1e-6, weight_decay=weight_decay)
+def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2,
+                   steps=None) -> optax.GradientTransformation:
+    """Training optimizer — delegates to training/optim.py (clip 1.0 +
+    warmup-cosine + adamw b2=0.95), the recipe measured stable at 350M;
+    the raw Michelangelo adamw (b2=0.99, eps=1e-6, no clip/warmup,
+    shapevae-256.yaml:33-38) either explodes after the initial descent
+    or plateaus, depending on lr (PERF.md trained-weights probe)."""
+    from meshanything_tpu.training.optim import make_optimizer as _mk
+
+    return _mk(lr, steps=steps, weight_decay=weight_decay)
 
 
 def loss_fn(params, cfg: MeshAnythingConfig, pc_normal, token_ids, labels,

@@ -226,3 +226,33 @@ def test_param_tree_npz_round_trip(tmp_path):
     np.testing.assert_array_equal(loaded["a"]["b"], tree["a"]["b"])
     np.testing.assert_array_equal(loaded["a"]["c"], tree["a"]["c"])
     np.testing.assert_array_equal(loaded["d"], tree["d"])
+
+
+def test_make_optimizer_clips_and_warms_up():
+    """training/optim.py: the 350M-stable recipe — global-norm clip plus
+    warmup (first step's lr ~ 0) — measured necessary on the full-scale
+    grammar probe (PERF.md)."""
+    import optax
+
+    from meshanything_tpu.training.optim import make_optimizer
+
+    opt = make_optimizer(1e-3, steps=100)
+    params = {"w": jnp.ones((4, 4))}
+    state = opt.init(params)
+    # a huge gradient must come out clipped AND warmup-scaled
+    grads = {"w": jnp.full((4, 4), 1e6)}
+    updates, state = opt.update(grads, state, params)
+    assert float(jnp.abs(updates["w"]).max()) < 1e-3  # step-0 lr ~ 0
+    # after stepping past warmup the update magnitude approaches lr
+    for _ in range(60):
+        updates, state = opt.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+    assert 1e-5 < float(jnp.abs(updates["w"]).max()) < 2e-3
+    assert np.isfinite(np.asarray(params["w"])).all()
+
+    # open-ended mode (no steps): constant lr after warmup
+    opt2 = make_optimizer(1e-3)
+    state2 = opt2.init({"w": jnp.ones((2,))})
+    for _ in range(60):
+        updates2, state2 = opt2.update({"w": jnp.ones((2,))}, state2, {"w": jnp.ones((2,))})
+    assert float(jnp.abs(updates2["w"]).max()) > 5e-4  # ~ full lr
