@@ -159,13 +159,11 @@ def main(argv=None):
         import numpy as np
 
         from meshanything_tpu.geometry import load_mesh
-        from meshanything_tpu.geometry.normalize import discretize
+        from meshanything_tpu.models.meshanything import build_face_prompt
 
         partial = load_mesh(args.complete_from)
         face_coords = partial.vertices[partial.faces]          # (nf, 3, 3)
-        toks = discretize(face_coords, num_discrete=cfg.nrd.discrete_num)
-        prompt_tokens = np.concatenate(
-            [[cfg.opt.bos_token_id], toks.reshape(-1) + 3]).astype(np.int32)
+        prompt_tokens = np.asarray(build_face_prompt(cfg, face_coords[None]))[0]
         print(f"mesh completion: seeding {len(partial.faces)} faces "
               f"({len(prompt_tokens)} tokens) from {args.complete_from}")
 

@@ -139,6 +139,25 @@ def discretize_faces(cfg: MeshAnythingConfig, face_coords: jax.Array) -> jax.Arr
     return disc.astype(jnp.int32).reshape(b, -1) + 3
 
 
+def build_face_prompt(cfg: MeshAnythingConfig, face_coords) -> "jnp.ndarray":
+    """THE prompt assembly point for mesh completion, shared by
+    complete()/CLI/serving: [bos ‖ discretize_faces] in stream order,
+    (B, 1 + nf*9) int32. Validates the face budget up front so an
+    oversized partial fails with an actionable message instead of a
+    mid-trace error."""
+    face_coords = jnp.asarray(face_coords)
+    nf = face_coords.shape[1]
+    max_nf = (cfg.generate_length - 2) // cfg.opt.face_per_token
+    if nf >= max_nf:
+        raise ValueError(
+            f"partial mesh has {nf} faces; completion needs room to "
+            f"continue — at n_max_triangles={cfg.n_max_triangles} the "
+            f"prompt may carry at most {max_nf - 1} faces")
+    toks = discretize_faces(cfg, face_coords)
+    bos = jnp.full((face_coords.shape[0], 1), cfg.opt.bos_token_id, jnp.int32)
+    return jnp.concatenate([bos, toks], axis=1)
+
+
 def complete(
     params: dict,
     cfg: MeshAnythingConfig,
@@ -168,14 +187,11 @@ def complete(
     """
     dtype = cfg.activation_dtype
     pc_normal = pc_normal.astype(dtype)
-    b = pc_normal.shape[0]
 
     point_feature = per_mod.encode_latents(params["perceiver"], cfg.perceiver, pc_normal)
     cond = process_point_feature(params, cfg, point_feature)
 
-    face_tokens = discretize_faces(cfg, partial_faces)
-    bos = jnp.full((b, 1), cfg.opt.bos_token_id, jnp.int32)
-    prompt = jnp.concatenate([bos, face_tokens], axis=1)
+    prompt = build_face_prompt(cfg, partial_faces)
 
     if lookahead > 0 and not sampling:
         from meshanything_tpu.models.lookahead import generate_lookahead

@@ -58,8 +58,6 @@ class ServingEngine:
             runner = PhaseRunner(params, cfg, bucket=bucket, attn=attn,
                                  lookahead=lookahead)
         self._runner = runner
-        self._greedy = lambda p, pc, k: runner(pc, sampling=False, key=k)
-        self._sample = lambda p, pc, k: runner(pc, sampling=True, key=k)
 
     def generate_from_mesh(
         self,
@@ -72,10 +70,13 @@ class ServingEngine:
         export_artifacts: bool = True,
         partial_faces: np.ndarray | None = None,
     ):
-        """partial_faces (nf, 3, 3), model output space [-0.5, 0.5):
-        mesh completion — the decoder is seeded with [bos ‖ discretized
-        faces] and continues them (models/meshanything.py::complete
-        semantics through the phase runner)."""
+        """partial_faces (nf, 3, 3), in the SAME coordinate space as the
+        uploaded mesh (e.g. faces cut from it): mesh completion — the
+        faces get the same mesh-bbox normalization as the condition
+        (the server holds that transform; clients cannot apply it), are
+        discretized to a [bos ‖ face tokens] prompt, and the decoder
+        continues them (models/meshanything.py::complete semantics
+        through the phase runner)."""
         from meshanything_tpu.geometry import (
             Mesh,
             faces_to_mesh,
@@ -125,19 +126,25 @@ class ServingEngine:
         jax = self._jax
         key = jax.random.PRNGKey(seed)
         pc_in = np.asarray(pc_normal, np.float32)[None]
+        prompt = None
         if partial_faces is not None:
-            from meshanything_tpu.geometry.normalize import discretize
+            from meshanything_tpu.models.meshanything import build_face_prompt
 
-            toks = discretize(np.asarray(partial_faces, np.float64),
-                              num_discrete=self.cfg.nrd.discrete_num)
-            prompt = np.concatenate(
-                [[self.cfg.opt.bos_token_id], toks.reshape(-1) + 3]
-            ).astype(np.int32)[None]
+            # same mesh-bbox transform as the condition above
+            # (app.py:108-114): center on the input mesh's bbox midpoint,
+            # scale by its max extent -> model output space [-0.5, 0.5]
+            bounds = np.array([mesh.vertices.min(axis=0), mesh.vertices.max(axis=0)])
+            center = (bounds[0] + bounds[1]) / 2
+            extent = max((bounds[1] - bounds[0]).max(), 1e-12)
+            partial_norm = (np.asarray(partial_faces, np.float64) - center) / extent
+            prompt = np.asarray(build_face_prompt(self.cfg, partial_norm[None]))
+        if prompt is not None:
             out = self._runner(pc_in, sampling=do_sampling, key=key,
                                prompt_ids=prompt)
         else:
-            fn = self._sample if do_sampling else self._greedy
-            out = fn(self.params, pc_in, key)
+            # plain call keeps injected runners (bench's adapter) free of
+            # the prompt_ids kwarg
+            out = self._runner(pc_in, sampling=do_sampling, key=key)
         coords = np.asarray(out.face_coords.astype(np.float32))[0]
 
         # output cleanup + orange vertex / brown face colors (app.py:144-168)

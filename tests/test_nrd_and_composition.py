@@ -202,3 +202,57 @@ def test_mesh_completion_continues_prompt(rng):
     np.testing.assert_allclose(
         (toks.reshape(3, 3) - 3 + 0.5) / bins - 0.5, np.asarray(partial)[0, 0],
         atol=1e-6)
+
+
+def test_build_face_prompt_validates_budget(rng):
+    """Oversized partials must fail fast with an actionable message, not
+    a mid-trace error (code-review r2)."""
+    import jax
+
+    from meshanything_tpu.config import small_test_config
+    from meshanything_tpu.models.meshanything import build_face_prompt
+
+    cfg = small_test_config(n_max_triangles=4)
+    ok = build_face_prompt(cfg, jnp.zeros((1, 2, 3, 3)))
+    assert ok.shape == (1, 1 + 2 * 9)
+    assert int(ok[0, 0]) == cfg.opt.bos_token_id
+    with pytest.raises(ValueError, match="at most"):
+        build_face_prompt(cfg, jnp.zeros((1, cfg.n_max_triangles, 3, 3)))
+
+
+def test_serving_partial_faces_share_mesh_normalization(tmp_path, rng):
+    """HTTP/engine completion: partial faces given in the CLIENT mesh's
+    coordinate space get the same mesh-bbox transform as the condition
+    (code-review r2: raw coords outside [-0.5,0.5) clipped to boundary
+    bins and silently produced garbage prompts)."""
+    import jax
+
+    from meshanything_tpu.config import small_test_config
+    from meshanything_tpu.models import meshanything as ma
+    from meshanything_tpu.serving import ServingEngine
+
+    cfg = small_test_config(n_max_triangles=4)
+    params = ma.init_meshanything_params(jax.random.PRNGKey(0), cfg)
+
+    captured = {}
+
+    class Spy:
+        def __call__(self, pc, sampling=False, key=None, prompt_ids=None):
+            captured["prompt"] = None if prompt_ids is None else np.asarray(prompt_ids)
+            return ma.generate(params, cfg, jnp.asarray(pc), bucket=16)
+
+    engine = ServingEngine(params, cfg, runner=Spy(), artifacts_dir=str(tmp_path))
+    # client mesh in native coords (bbox [0, 100])
+    v = rng.random((12, 3)) * 100.0
+    f = np.arange(12).reshape(4, 3)
+    partial = v[f[:1]]  # first face, same client space
+    engine.generate_from_mesh(v, f, partial_faces=partial, export_artifacts=False)
+
+    prompt = captured["prompt"]
+    assert prompt is not None and prompt.shape == (1, 10)
+    toks = prompt[0, 1:] - 3
+    bins = cfg.nrd.discrete_num
+    # tokens must be interior bins, not the 0/max clip boundary a raw
+    # (unnormalized) coordinate would produce
+    assert (toks >= 0).all() and (toks <= bins - 1).all()
+    assert not ((toks == 0) | (toks == bins - 1)).all()
