@@ -214,6 +214,10 @@ def prefill_with_prompt(
     token_ids: (B, P) int32 in stream order — element 0 is the
     (predicted-)bos slot, exactly as ``generate`` emits it.
     Returns (logits_last (B, vocab) f32, kv (2, L, B, kv_len, H*D)).
+
+    Long prompts (completing most of an 800-face mesh = up to ~7.5k
+    prefix tokens) switch to the blockwise online-softmax attention —
+    dense (C+P)^2 scores would cost ~1 GB/layer at a 400-face prompt.
     """
     b, c, _ = cond_embeds.shape
     t = token_ids.shape[1]
@@ -226,18 +230,25 @@ def prefill_with_prompt(
     tok = tok + params["cond_embed"][1].astype(tok.dtype)
 
     x = jnp.concatenate([cond_x, tok], axis=1)
-    positions = jnp.arange(c + t) + cfg.pos_offset
+    n = c + t
+    positions = jnp.arange(n) + cfg.pos_offset
     x = x + params["embed_positions"][positions].astype(x.dtype)
 
-    body = _opt_layer_prefill(cfg)
+    # blockwise attention past 1k tokens (padded positions sit in every
+    # real token's causal future, so results are unchanged)
+    block_q = 512 if n > 1024 else 0
+    pad = (-n) % block_q if block_q else 0
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+
+    body = _opt_layer_prefill(cfg, block_q=block_q)
     x, (ks, vs) = jax.lax.scan(lambda h, p: body(h, p), x, params["layers"])
-    n = c + t
     lcnt = ks.shape[0]
-    ks = ks.reshape(lcnt, b, n, cfg.hidden_size)
-    vs = vs.reshape(lcnt, b, n, cfg.hidden_size)
+    ks = ks.reshape(lcnt, b, n + pad, cfg.hidden_size)[:, :, :n]
+    vs = vs.reshape(lcnt, b, n + pad, cfg.hidden_size)[:, :, :n]
     ks = jnp.pad(ks, ((0, 0), (0, 0), (0, kv_len - n), (0, 0)))
     vs = jnp.pad(vs, ((0, 0), (0, 0), (0, kv_len - n), (0, 0)))
-    logits = linear(x[:, -1], params["lm_head"]["w"])
+    logits = linear(x[:, n - 1], params["lm_head"]["w"])
     return logits.astype(jnp.float32), jnp.stack([ks, vs])
 
 

@@ -244,3 +244,24 @@ def test_prompt_seeded_generate_rejects_overlong_prompt(rng):
     with pytest.raises(ValueError, match="prompt length"):
         sopt.generate(params, CFG, cond, max_new_tokens=4, bucket=16,
                       prompt_ids=jnp.zeros((1, 4), jnp.int32))
+
+
+def test_prompt_seeded_generate_long_prompt_blockwise(rng):
+    """Long prompts (> 1024 total prefill tokens) route through the
+    blockwise flash prefill; the continuation must still match plain
+    greedy exactly (mesh-completion scale)."""
+    params = sopt.init_shape_opt_params(jax.random.PRNGKey(3), CFG)
+    cond = jnp.asarray(
+        rng.normal(size=(1, CFG.cond_length, CFG.hidden_size)).astype(np.float32) * 0.5)
+
+    max_new = 1100
+    plain = np.asarray(sopt.generate(
+        params, CFG, cond, max_new_tokens=max_new, bucket=128, attn="xla",
+        early_exit=False))
+    p_len = 1040  # cond 9 + 1040 = 1049 > 1024 -> block_q path
+    seeded = np.asarray(sopt.generate(
+        params, CFG, cond, max_new_tokens=max_new, bucket=128, attn="xla",
+        prompt_ids=jnp.asarray(plain[:, :p_len])))
+    eos = np.where(plain[0] == CFG.eos_token_id)[0]
+    limit = (eos[0] + 1) if len(eos) else max_new
+    np.testing.assert_array_equal(seeded[0, :limit], plain[0, :limit])
