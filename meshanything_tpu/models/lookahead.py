@@ -344,8 +344,8 @@ def generate_lookahead(
     starts = list(range(0, s_max, bucket))
     for bstart in starts:
         bend = min(bstart + bucket, s_max)
-        if bend <= c:
-            continue
+        if bend <= c + p_len:
+            continue  # bucket fully covered by cond + static prompt
 
         def cond_fn(st, _bend=bend):
             live = (st.steps < max_new_tokens) & ~st.done

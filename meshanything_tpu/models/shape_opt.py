@@ -611,8 +611,8 @@ def generate(
     starts = list(range(0, s_max, bucket))
     for bstart in starts:
         bend = min(bstart + bucket, s_max)
-        if bend <= c:
-            continue
+        if bend <= c + p_len:
+            continue  # bucket fully covered by cond + static prompt
 
         def cond_fn(st, _bend=bend):
             # the next fed token writes KV slot cond_length + step - 1,
