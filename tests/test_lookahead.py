@@ -157,3 +157,32 @@ def test_lookahead_prompt_seeded_matches_plain(rng, attn):
                                       err_msg=f"attn={attn} row={row}")
     # stats count continuation tokens only (prompt excluded)
     assert int(np.asarray(stats["emitted"]).max()) <= 24 - 5
+
+
+def test_prompt_composes_with_wq_and_int8(rng):
+    """All three accelerators + prompt seeding compose: int8 KV cache,
+    int8 W8A8 weights, lookahead windows, seeded from a prefix — the
+    stream must match prompt-seeded plain int8 greedy in f32."""
+    params = sopt.init_shape_opt_params(jax.random.PRNGKey(3), CFG)
+    cond = jnp.asarray(rng.normal(size=(2, CFG.cond_length, CFG.hidden_size)).astype(np.float32) * 0.5)
+
+    plain = np.asarray(sopt.generate(
+        params, CFG, cond, max_new_tokens=20, bucket=16, attn="pallas_int8"))
+    prompt = jnp.asarray(plain[:, :5])
+    look = np.asarray(generate_lookahead(
+        params, CFG, cond, max_new_tokens=20, window=4, bucket=16,
+        attn="pallas_int8", wq=True, prompt_ids=prompt))
+    # wq quantizes weights, so allow divergence only after agreement on
+    # the echoed prompt; with the small test weights the rounding is
+    # typically invisible — require at least prompt echo + a valid shape
+    np.testing.assert_array_equal(look[:, :5], plain[:, :5])
+    assert look.shape == (2, 20)
+
+    # without wq the composition must be exact
+    look_exact = np.asarray(generate_lookahead(
+        params, CFG, cond, max_new_tokens=20, window=4, bucket=16,
+        attn="pallas_int8", prompt_ids=prompt))
+    for row in range(2):
+        eos = np.where(plain[row] == CFG.eos_token_id)[0]
+        limit = (eos[0] + 1) if len(eos) else 20
+        np.testing.assert_array_equal(look_exact[row, :limit], plain[row, :limit])
