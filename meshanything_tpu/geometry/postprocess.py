@@ -68,7 +68,14 @@ def fix_normals(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
     that serving cleans per request). Components whose doubled graph
     collapses to one cluster are non-orientable (Möbius-like);
     their faces are left as-is, matching the arbitrary resolution any
-    traversal order gives."""
+    traversal order gives.
+
+    Only edges with exactly 2 incident face-slots contribute winding
+    links: a non-manifold edge (3+ incident faces, which generated
+    triangle soup can produce after merge_vertices) has no consistent
+    two-face winding constraint, and linking through it would collapse
+    the doubled graph and mark genuinely orientable neighbours
+    non-orientable (advisor r2)."""
     faces = np.asarray(faces).copy()
     nf = len(faces)
     if nf == 0:
@@ -93,12 +100,15 @@ def fix_normals(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
     new_group[0] = True
     new_group[1:] = (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])
     gstart = np.flatnonzero(new_group)
-    first_entry = gstart[np.cumsum(new_group) - 1]
-    nonfirst = np.arange(len(lo_s)) != first_entry
-    fa = f_s[first_entry[nonfirst]]
-    da = d_s[first_entry[nonfirst]]
-    fb = f_s[nonfirst]
-    db = d_s[nonfirst]
+    gid = np.cumsum(new_group) - 1
+    first_entry = gstart[gid]
+    counts = np.bincount(gid)
+    manifold = counts[gid] == 2          # exactly-2-incident edges only
+    sel = (np.arange(len(lo_s)) != first_entry) & manifold
+    fa = f_s[first_entry[sel]]
+    da = d_s[first_entry[sel]]
+    fb = f_s[sel]
+    db = d_s[sel]
     keep = fa != fb
     fa, fb = fa[keep], fb[keep]
     # same traversal direction on a shared edge => one of the two faces

@@ -241,7 +241,6 @@ def decode_attention_impl(
     *,
     chunk: int = 512,
     interpret: bool = False,
-    depth: int = 2,
 ) -> jax.Array:
     """Single-query cached attention. Plain (un-jitted) invocation for
     embedding inside larger compiled programs (the decode scan);
@@ -250,11 +249,15 @@ def decode_attention_impl(
     The cache's last dim MUST be flat H*D: a (..., H, 64) physical
     layout is lane-padded to 128 on TPU, so reshaping it here would
     materialize a full-cache copy per call (measured: ~18 µs per
-    context row per decode step — 150x the DMA cost)."""
+    context row per decode step — 150x the DMA cost).
+
+    The DMA pipeline runs at the fixed _flash_decode default depth=2:
+    depth 2/3/4 x chunk 256/512/1024 all measured 571-585 GB/s
+    (PERF.md r2 ablation), so the knob is not exposed here."""
     b = q.shape[0]
     base = jnp.broadcast_to(jnp.asarray(cur_len, jnp.int32) - 1, (b,))
     out = _flash_decode(q[:, None], kv_cache, None, layer, base,
-                        chunk=chunk, interpret=interpret, depth=depth)
+                        chunk=chunk, interpret=interpret)
     return out[:, 0]
 
 

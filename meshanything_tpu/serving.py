@@ -225,20 +225,34 @@ def _make_handler(engine: ServingEngine):
             self.end_headers()
             self.wfile.write(_FORM)
 
+        def _error(self, status, exc):
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(json.dumps(
+                {"error": f"{type(exc).__name__}: {exc}"}).encode())
+
         def do_POST(self):
             if self.path != "/generate":
                 self.send_response(404)
                 self.end_headers()
                 return
+            # request parsing/validation: malformed inputs (bad base64,
+            # unparseable OBJ, oversized completion prompt) are CLIENT
+            # errors -> 400 with the validation message; anything that
+            # fails past this block is a server fault -> 500
             try:
+                import binascii
+
                 length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length)
                 seed = int(self.headers.get("X-Seed", "0"))
                 sampling = self.headers.get("X-Sampling", "0") == "1"
                 mc = self.headers.get("X-MC", "0") == "1"
                 want_json = "application/json" in (self.headers.get("Accept") or "")
-                # mesh completion: base64 OBJ of a partial mesh in model
-                # output space; its faces seed the decoder
+                # mesh completion: base64 OBJ of a partial mesh in the
+                # SAME coordinate space as the uploaded mesh; its faces
+                # seed the decoder
                 partial_b64 = self.headers.get("X-Partial-Obj-B64")
 
                 # body is a raw OBJ (API mode). multipart form uploads also
@@ -256,16 +270,34 @@ def _make_handler(engine: ServingEngine):
                     path = fh.name
                 from meshanything_tpu.geometry import load_mesh
 
-                mesh = load_mesh(path)
-                os.unlink(path)
+                try:
+                    mesh = load_mesh(path)
+                finally:
+                    os.unlink(path)
                 partial_faces = None
                 if partial_b64:
                     with tempfile.NamedTemporaryFile(suffix=".obj", delete=False) as fh:
-                        fh.write(base64.b64decode(partial_b64))
+                        fh.write(base64.b64decode(partial_b64, validate=True))
                         ppath = fh.name
-                    pmesh = load_mesh(ppath)
-                    os.unlink(ppath)
+                    try:
+                        pmesh = load_mesh(ppath)
+                    finally:
+                        os.unlink(ppath)
                     partial_faces = pmesh.vertices[pmesh.faces]
+                    # validate the prompt budget NOW (the same bound
+                    # build_face_prompt enforces) so an oversized
+                    # partial gets a 400, not a mid-generation 500
+                    cfg = engine.cfg
+                    max_nf = (cfg.generate_length - 2) // cfg.opt.face_per_token
+                    if len(partial_faces) >= max_nf:
+                        raise ValueError(
+                            f"partial mesh has {len(partial_faces)} faces; "
+                            f"completion needs room to continue — at most "
+                            f"{max_nf - 1} prompt faces allowed")
+            except (binascii.Error, ValueError, KeyError, IndexError) as e:
+                self._error(400, e)
+                return
+            try:
                 result = engine.generate_from_mesh(
                     mesh.vertices, mesh.faces,
                     seed=seed, do_sampling=sampling, do_marching_cubes=mc,
@@ -308,11 +340,12 @@ def _make_handler(engine: ServingEngine):
                 self.send_header("X-Output-Render", result["output_render_path"])
                 self.end_headers()
                 self.wfile.write(obj_text.encode())
-            except Exception as e:  # surface errors to the client
-                self.send_response(400)
-                self.send_header("Content-Type", "application/json")
-                self.end_headers()
-                self.wfile.write(json.dumps({"error": f"{type(e).__name__}: {e}"}).encode())
+            except ValueError as e:
+                # validation raised inside the engine (e.g. non-unit
+                # normals, oversized prompt) — still a client error
+                self._error(400, e)
+            except Exception as e:  # genuine server fault
+                self._error(500, e)
 
     return Handler
 

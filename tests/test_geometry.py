@@ -203,3 +203,36 @@ def test_fix_normals_vectorized_matches_bfs_oracle():
     tri = V[fixed]
     vol = np.einsum("ij,ij->i", tri[:, 0], np.cross(tri[:, 1], tri[:, 2])).sum() / 6
     assert vol > 3.9  # 4 unit cubes
+
+
+def test_fix_normals_nonmanifold_fin():
+    """A non-manifold edge (3 incident faces: two cube faces + a fin,
+    the triangle-soup case merge_vertices can produce) must not poison
+    the 2-coloring: the cube's winding is still repaired through its
+    manifold edges, and the cube ends up outward-oriented (advisor r2:
+    the doubled graph previously linked through the 3-incident edge and
+    could collapse an orientable component to 'non-orientable')."""
+    h = 0.5
+    cv = np.array([[-h, -h, -h], [h, -h, -h], [h, h, -h], [-h, h, -h],
+                   [-h, -h, h], [h, -h, h], [h, h, h], [-h, h, h]])
+    cf = np.array([[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+                   [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
+                   [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]])
+    # fin hanging off cube edge (0, 1) -> that edge now has 3 incident
+    # faces; its traversal direction matches face [0, 2, 1]'s (0->1 via
+    # 1? [0,2,1] edges: (0,2),(2,1),(1,0)) — direction irrelevant, the
+    # point is 3 incidences
+    fin_apex = len(cv)
+    V = np.concatenate([cv, [[0.0, -2 * h, 0.0]]])
+    flipped = cf.copy()
+    flipped[[3, 7, 10]] = flipped[[3, 7, 10], ::-1]  # break some winding
+    F = np.concatenate([flipped, [[0, 1, fin_apex]]])
+
+    fixed = fix_normals(V, F)
+    # the 12 cube faces must be mutually consistent AND outward
+    tri = V[fixed[:12]]
+    vols = np.einsum("ij,ij->i", tri[:, 0], np.cross(tri[:, 1], tri[:, 2]))
+    assert vols.sum() / 6 > 0.99  # unit cube, outward
+    centers = tri.mean(axis=1)
+    normals = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    assert (np.einsum("ij,ij->i", normals, centers) > 0).all()

@@ -183,5 +183,30 @@ def test_serving_http_completion(tmp_path, rng):
         with urllib.request.urlopen(req) as r:
             assert r.status == 200
             assert "X-Faces-Generated" in r.headers
+
+        # client errors on the completion path are 400s with the
+        # validation message, not generic 500s (advisor r2)
+        def expect_400(headers, msg_frag):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=body, method="POST",
+                headers=headers)
+            try:
+                urllib.request.urlopen(req)
+                raise AssertionError("expected HTTPError")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, e.code
+                payload = json.loads(e.read())
+                assert msg_frag in payload["error"], payload
+
+        expect_400({"X-Partial-Obj-B64": "!!!not-base64!!!"}, "Error")
+        # oversized partial: more prompt faces than the face budget
+        # (n_max_triangles=2) allows
+        big = "".join(
+            f"v {i * 0.001} 0 0\nv {i * 0.001} 0.1 0\nv {i * 0.001} 0 0.1\n"
+            f"f {3 * i + 1} {3 * i + 2} {3 * i + 3}\n"
+            for i in range(4)
+        ).encode()
+        expect_400({"X-Partial-Obj-B64": base64.b64encode(big).decode()},
+                   "completion needs room")
     finally:
         server.shutdown()
