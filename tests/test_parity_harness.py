@@ -1,0 +1,100 @@
+"""The day-one real-weights parity harness (tools/parity_vs_reference.py).
+
+Two layers of coverage:
+  * the _LegacyLayerAdapter (the 4.39 legacy-cache -> installed
+    transformers bridge) is validated for prefill/incremental
+    consistency on a real OPTDecoderLayer — the property the reference
+    generate loop depends on;
+  * the full harness selftest runs in a subprocess (its offline stubs
+    monkeypatch global torch/transformers state): scaled-down reference
+    torch model, state_dict exported as the checkpoint, converted,
+    both sides generated, tokens + coords + OBJ bytes diffed.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TOOL = os.path.join(REPO, "tools", "parity_vs_reference.py")
+
+
+def _load_tool():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("parity_vs_reference", TOOL)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_legacy_layer_adapter_incremental_matches_full():
+    """Adapter contract: prefill(N) == prefill(P) + N-P incremental
+    single-token steps through the legacy (k, v) cache — i.e. the mask
+    construction and cache bridging reproduce causal attention exactly."""
+    import torch
+    from transformers.models.opt.modeling_opt import OPTConfig, OPTDecoderLayer
+
+    tool = _load_tool()
+    torch.manual_seed(0)
+    cfg = OPTConfig(
+        hidden_size=32, num_attention_heads=4, ffn_dim=64,
+        do_layer_norm_before=False, activation_function="relu",
+        attn_implementation="eager", dropout=0.0,
+    )
+    layer = OPTDecoderLayer(cfg, layer_idx=0).eval()
+
+    b, n, p = 2, 7, 3
+    x = torch.randn(b, n, 32)
+
+    with torch.no_grad():
+        full, _ = tool._LegacyLayerAdapter(layer)(x, use_cache=True)
+
+        out_p, past = tool._LegacyLayerAdapter(layer)(x[:, :p], use_cache=True)
+        incr = [out_p]
+        for t in range(p, n):
+            out_t, past = tool._LegacyLayerAdapter(layer)(
+                x[:, t:t + 1], past_key_value=past, use_cache=True)
+            incr.append(out_t)
+        incr = torch.cat(incr, dim=1)
+
+    assert past[0].shape == (b, 4, n, 8)
+    np.testing.assert_allclose(full.numpy(), incr.numpy(), atol=1e-5)
+
+    # 2D padding mask: masked columns must not influence later rows
+    mask = torch.ones(b, n, dtype=torch.long)
+    mask[:, 1] = 0
+    with torch.no_grad():
+        masked, _ = tool._LegacyLayerAdapter(layer)(
+            x, attention_mask=mask, use_cache=True)
+        x2 = x.clone()
+        x2[:, 1] = 100.0  # perturb only the masked position
+        masked2, _ = tool._LegacyLayerAdapter(layer)(
+            x2, attention_mask=mask, use_cache=True)
+    np.testing.assert_allclose(
+        masked[:, 2:].numpy(), masked2[:, 2:].numpy(), atol=1e-5)
+
+
+def test_parity_selftest_end_to_end(tmp_path):
+    """One command, green: the harness proves itself with the scaled
+    reference model + its own state_dict (VERDICT r2 next #2)."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # the tool pins cpu via jax.config
+    proc = subprocess.run(
+        [sys.executable, TOOL, "--selftest", "--out_dir", str(tmp_path)],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stdout + "\n" + proc.stderr
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert lines, proc.stdout
+    res = json.loads(lines[-1])
+    assert res["ok"] is True
+    assert res["token_match"] == 1.0
+    assert res["obj_bytes_equal"] is True
+    assert "PARITY VERDICT: PASS" in proc.stdout
+    # both artifact OBJs were written
+    assert os.path.exists(tmp_path / "synthetic_reference.obj")
+    assert os.path.exists(tmp_path / "synthetic_ours.obj")
