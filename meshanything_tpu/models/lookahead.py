@@ -49,6 +49,8 @@ class LookaheadState(NamedTuple):
     done: jax.Array         # (B,)
     window: jax.Array       # (B, W) w_0 = last confirmed, rest guesses
     iters: jax.Array        # scalar int32: window forwards executed
+    key: jax.Array          # (2,) uint32 PRNG key (speculative sampling
+                            # only; zeros and unused in greedy mode)
 
 
 # per-row symmetric int8 — ONE implementation shared with the

@@ -27,6 +27,8 @@ def _load_tool():
 
     spec = importlib.util.spec_from_file_location("parity_vs_reference", TOOL)
     mod = importlib.util.module_from_spec(spec)
+    # dataclasses resolves annotations via sys.modules[cls.__module__]
+    sys.modules["parity_vs_reference"] = mod
     spec.loader.exec_module(mod)
     return mod
 
