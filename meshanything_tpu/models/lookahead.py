@@ -21,9 +21,13 @@ effective on structured token streams like the 9-token face grammar.
 Acceptance (and therefore speedup) is input- and model-dependent;
 worst case degrades to ~1 token/iteration with a W-query forward.
 
-Greedy only (sampling breaks the exactness argument). Per-row progress
-counters support batched decoding with rows advancing at different
-rates.
+Sampling is supported via SPECULATIVE sampling (sampling=True): the
+window's greedy continuations act as a deterministic draft chain and
+the accept/residual rule of _speculative_accept preserves the exact
+step-by-step top-k/top-p distribution — so the fast tier covers the
+reference's --sampling surface too (meshanything.py:153-162). Per-row
+progress counters support batched decoding with rows advancing at
+different rates.
 """
 from __future__ import annotations
 
@@ -59,16 +63,66 @@ class LookaheadState(NamedTuple):
 from meshanything_tpu.ops.kvcache import quantize_rows as _quantize_rows  # noqa: E402
 
 
+def _speculative_accept(key: jax.Array, logits: jax.Array, window: jax.Array,
+                        top_k: int, top_p: float):
+    """Exact speculative sampling against a DETERMINISTIC draft chain
+    (the Jacobi window guesses): position i's draft g=window[i+1] is
+    accepted with probability p_i(g) under the warped target
+    distribution; on the first rejection the token is drawn from the
+    residual (p_i with g removed, renormalized), and when every draft
+    survives a fresh token is drawn at the last position. Chained, the
+    emitted tokens are distributed EXACTLY as step-by-step top-k/top-p
+    sampling (Leviathan et al. 2023 with q = delta_g:
+    accept w.p. min(1, p/q)=p(g); residual = norm(max(p - q, 0)) = p
+    minus g renormalized) — verified statistically in
+    tests/test_lookahead.py.
+
+    Returns (emitted (B, W) — valid through index n_acc, new_key)."""
+    from meshanything_tpu.ops.sampling import top_k_filter, top_p_filter
+
+    b, w, _ = logits.shape
+    new_key, k_u, k_res, k_fresh = jax.random.split(key, 4)
+    warped = top_p_filter(top_k_filter(logits.astype(jnp.float32), top_k), top_p)
+    probs = jax.nn.softmax(warped, axis=-1)                     # (B, W, V)
+
+    g = window[:, 1:]                                           # (B, W-1) drafts
+    pg = jnp.take_along_axis(probs[:, :-1], g[..., None], axis=-1)[..., 0]
+    u = jax.random.uniform(k_u, pg.shape)
+    accept = (u < pg).astype(jnp.int32)
+    n_acc = jnp.cumprod(accept, axis=-1).sum(axis=-1)           # (B,) in [0, W-1]
+
+    # residual draws at every draft position (only the stopping one is
+    # used); -inf out the draft so categorical renormalizes without it
+    draft_mask = jax.nn.one_hot(g, warped.shape[-1], dtype=bool)
+    res_logits = jnp.where(draft_mask, jnp.float32(-jnp.inf), warped[:, :-1])
+    res = jax.random.categorical(k_res, res_logits, axis=-1).astype(jnp.int32)
+    fresh = jax.random.categorical(k_fresh, warped[:, -1], axis=-1).astype(jnp.int32)
+
+    stop_tok = jnp.where(
+        n_acc < w - 1,
+        jnp.take_along_axis(res, jnp.minimum(n_acc, w - 2)[:, None], axis=1)[:, 0],
+        fresh,
+    )
+    idx = jnp.arange(w)[None, :]
+    drafts_padded = jnp.concatenate([g, fresh[:, None]], axis=1)  # (B, W)
+    emitted = jnp.where(idx < n_acc[:, None], drafts_padded, stop_tok[:, None])
+    return emitted, n_acc, new_key
+
+
 def _window_step(params, cfg: ShapeOPTConfig, state: LookaheadState,
                  window: int, kv_slice_len: int, attn: str = "xla",
                  chunk: int = 512, interpret: bool = False,
-                 max_new_tokens: int | None = None, wq: bool = False):
+                 max_new_tokens: int | None = None, wq: bool = False,
+                 sampling: bool = False, top_k: int = 50, top_p: float = 0.95):
     """One W-token forward + acceptance.
 
     attn="pallas": the multi-query flash-decoding kernel streams exactly
     the live context once for all W queries
     (ops/decode_attention.py::decode_attention_mq_impl).
-    wq: int8 W8A8 layer matrices (ops/wquant.py)."""
+    wq: int8 W8A8 layer matrices (ops/wquant.py).
+    sampling: speculative top-k/top-p sampling (_speculative_accept) —
+    the fast tier's coverage of the reference --sampling surface
+    (meshanything.py:153-162)."""
     from meshanything_tpu.ops.wquant import lin_dispatch
 
     lin_e = lin_dispatch(wq)
@@ -191,14 +245,20 @@ def _window_step(params, cfg: ShapeOPTConfig, state: LookaheadState,
     logits = linear(x, params["lm_head"]["w"]).astype(jnp.float32)  # (B, W, V)
     preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)           # (B, W)
 
-    # acceptance: longest prefix where guesses match predictions
-    hits = state.window[:, 1:] == preds[:, :-1]                     # (B, W-1)
-    run = jnp.cumprod(hits.astype(jnp.int32), axis=-1)              # leading-run mask
-    accepted = 1 + run.sum(axis=-1)                                 # (B,) in [1, W]
+    key = state.key
+    if sampling:
+        emitted, n_acc, key = _speculative_accept(
+            key, logits, state.window, top_k, top_p)
+        accepted = n_acc + 1                                        # (B,) in [1, W]
+    else:
+        # acceptance: longest prefix where guesses match predictions
+        emitted = preds
+        hits = state.window[:, 1:] == preds[:, :-1]                 # (B, W-1)
+        run = jnp.cumprod(hits.astype(jnp.int32), axis=-1)          # leading-run mask
+        accepted = 1 + run.sum(axis=-1)                             # (B,) in [1, W]
 
     # cut acceptance at the first emitted eos (inclusive)
-    is_eos = preds == cfg.eos_token_id
-    eos_cum = jnp.cumsum(is_eos.astype(jnp.int32), axis=-1)
+    is_eos = emitted == cfg.eos_token_id
     first_eos = jnp.argmax(is_eos, axis=-1)
     has_eos = is_eos.any(axis=-1)
     accepted = jnp.where(has_eos, jnp.minimum(accepted, first_eos + 1), accepted)
@@ -212,10 +272,10 @@ def _window_step(params, cfg: ShapeOPTConfig, state: LookaheadState,
         accepted = jnp.minimum(accepted, jnp.maximum(max_new_tokens - state.steps, 0))
     accepted = jnp.where(frozen, 0, accepted)
 
-    # write the window's predictions; entries beyond `accepted` are
-    # either re-written next iteration or remain the eos prefill
+    # write the emitted tokens; entries beyond `accepted` are either
+    # re-written next iteration or remain the eos prefill
     idx_in_w = jnp.arange(w)[None, :]
-    fill = jnp.where(idx_in_w < accepted[:, None], preds, cfg.eos_token_id)
+    fill = jnp.where(idx_in_w < accepted[:, None], emitted, cfg.eos_token_id)
 
     def write_row(row_tokens, vals, start):
         return jax.lax.dynamic_update_slice(row_tokens, vals, (start,))
@@ -225,9 +285,12 @@ def _window_step(params, cfg: ShapeOPTConfig, state: LookaheadState,
     new_steps = state.steps + accepted
     new_done = state.done | (has_eos & (first_eos < accepted))
 
-    # next window: w_0 = last accepted token; guesses = remaining preds
+    # next window: w_0 = last accepted token; guesses = the remaining
+    # greedy predictions (in sampling mode too — guess QUALITY is all
+    # that matters for guesses, and argmax continuations are the best
+    # deterministic guess; correctness rides on _speculative_accept)
     last_idx = jnp.maximum(accepted - 1, 0)
-    last_tok = jnp.take_along_axis(preds, last_idx[:, None], axis=1)[:, 0]
+    last_tok = jnp.take_along_axis(emitted, last_idx[:, None], axis=1)[:, 0]
     last_tok = jnp.where(frozen, state.window[:, 0], last_tok)
     # shift predictions left by `accepted` as the new guesses
     def shift_row(p_row, a):
@@ -239,7 +302,7 @@ def _window_step(params, cfg: ShapeOPTConfig, state: LookaheadState,
     new_steps = jnp.where(frozen, state.steps, new_steps)
 
     return LookaheadState(new_steps, tokens, kv, new_done, new_window,
-                          state.iters + 1)
+                          state.iters + 1, key)
 
 
 def generate_lookahead(
@@ -255,6 +318,9 @@ def generate_lookahead(
     return_stats: bool = False,
     wq: bool = False,
     prompt_ids: Optional[jax.Array] = None,
+    sampling: bool = False,
+    top_k: int = 50,
+    top_p: float = 0.95,
 ):
     """Greedy generation with lookahead. Token-identical to
     ``generate(..., sampling=False)`` in exact arithmetic (bf16 caveat
@@ -267,6 +333,12 @@ def generate_lookahead(
     prompt_ids (B, P): continue from a token prefix (see
     shape_opt.generate) — the prefix is prefilled in one causal pass
     and echoed into the output; stats count only continuation tokens.
+
+    sampling=True: speculative top-k/top-p sampling (requires ``key``) —
+    each window's greedy continuations serve as the draft chain, and the
+    accept/residual rule of _speculative_accept preserves the exact
+    step-by-step sampling distribution (the reference's do_sample
+    surface, meshanything.py:153-162, at lookahead speed).
     """
     if attn == "auto":
         attn = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -306,7 +378,17 @@ def generate_lookahead(
         kv = (values, scales)
     else:
         logits0, kv = _prefill(s_max)
-    first = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    if sampling:
+        if key is None:
+            raise ValueError("sampling=True requires a PRNG key")
+        from meshanything_tpu.ops.sampling import sample_token
+
+        key, k_first = jax.random.split(jnp.asarray(key))
+        first = sample_token(k_first, logits0.astype(jnp.float32),
+                             sampling=True, top_k=top_k, top_p=top_p)
+    else:
+        first = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+        key = jax.random.PRNGKey(0) if key is None else jnp.asarray(key)
 
     tokens = jnp.full((b, max_new_tokens + w), cfg.eos_token_id, jnp.int32)
     if p_len:
@@ -322,6 +404,7 @@ def generate_lookahead(
             [first[:, None], jnp.zeros((b, w - 1), jnp.int32)], axis=1
         ),
         iters=jnp.zeros((), jnp.int32),
+        key=key,
     )
 
     if attn.startswith("pallas"):
@@ -334,7 +417,8 @@ def generate_lookahead(
             cond_fn,
             lambda st: _window_step(dec_params, cfg, st, w, s_max, attn=attn,
                                     chunk=bucket, interpret=interpret,
-                                    max_new_tokens=max_new_tokens, wq=wq),
+                                    max_new_tokens=max_new_tokens, wq=wq,
+                                    sampling=sampling, top_k=top_k, top_p=top_p),
             state,
         )
         if return_stats:
@@ -356,7 +440,8 @@ def generate_lookahead(
 
         def body_fn(st, _bend=bend):
             return _window_step(dec_params, cfg, st, w, _bend,
-                                max_new_tokens=max_new_tokens, wq=wq)
+                                max_new_tokens=max_new_tokens, wq=wq,
+                                sampling=sampling, top_k=top_k, top_p=top_p)
 
         state = jax.lax.while_loop(cond_fn, body_fn, state)
 
@@ -368,7 +453,8 @@ def generate_lookahead(
     state = jax.lax.while_loop(
         cond_fn,
         lambda st: _window_step(dec_params, cfg, st, w, s_max,
-                                max_new_tokens=max_new_tokens, wq=wq),
+                                max_new_tokens=max_new_tokens, wq=wq,
+                                sampling=sampling, top_k=top_k, top_p=top_p),
         state,
     )
 

@@ -94,8 +94,9 @@ def generate(
     """Full inference pass (meshanything.py:134-176).
 
     pc_normal: (B, N, 6) normalized points+normals.
-    lookahead > 0 enables Jacobi multi-token greedy decoding with that
-    window size (exact; ignored when sampling).
+    lookahead > 0 enables Jacobi multi-token decoding with that window
+    size — exact greedy, and with sampling=True exact speculative
+    top-k/top-p sampling (models/lookahead.py).
     wq: int8 W8A8 decode weights (fast mode, ops/wquant.py).
     """
     dtype = cfg.activation_dtype
@@ -104,15 +105,17 @@ def generate(
     point_feature = per_mod.encode_latents(params["perceiver"], cfg.perceiver, pc_normal)
     cond = process_point_feature(params, cfg, point_feature)
 
-    if lookahead > 0 and not sampling:
+    if lookahead > 0:
         from meshanything_tpu.models.lookahead import generate_lookahead
 
-        # composes with attn="pallas_int8": lookahead windows over the
-        # quantized cache (decode_attention_mq_int8_impl)
+        # composes with attn="pallas_int8" (lookahead windows over the
+        # quantized cache) and with sampling=True (speculative top-k/
+        # top-p — exact distribution, models/lookahead.py)
         raw = generate_lookahead(
             params["opt"], cfg.opt, cond,
             max_new_tokens=cfg.generate_length,
             window=lookahead, bucket=bucket, attn=attn, wq=wq,
+            sampling=sampling, key=key,
         )
     else:
         raw = opt_mod.generate(
@@ -193,14 +196,14 @@ def complete(
 
     prompt = build_face_prompt(cfg, partial_faces)
 
-    if lookahead > 0 and not sampling:
+    if lookahead > 0:
         from meshanything_tpu.models.lookahead import generate_lookahead
 
         raw = generate_lookahead(
             params["opt"], cfg.opt, cond,
             max_new_tokens=cfg.generate_length,
             window=lookahead, bucket=bucket, attn=attn, wq=wq,
-            prompt_ids=prompt,
+            prompt_ids=prompt, sampling=sampling, key=key,
         )
     else:
         raw = opt_mod.generate(

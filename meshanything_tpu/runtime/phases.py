@@ -89,14 +89,16 @@ class PhaseRunner:
 
         @functools.partial(jax.jit, static_argnames=("sampling",))
         def decode(params, cond, key, sampling):
-            if lookahead > 0 and not sampling:
+            if lookahead > 0:
                 from meshanything_tpu.models.lookahead import generate_lookahead
 
-                # composes with attn="pallas_int8" (multi-query int8 kernel)
+                # composes with attn="pallas_int8" (multi-query int8
+                # kernel) and sampling=True (speculative sampling)
                 return generate_lookahead(
                     params["opt"], cfg.opt, cond,
                     max_new_tokens=cfg.generate_length,
                     window=lookahead, bucket=bucket, attn=attn, wq=wq,
+                    sampling=sampling, key=key,
                 )
             return opt_mod.generate(
                 params["opt"], cfg.opt, cond,
@@ -110,14 +112,14 @@ class PhaseRunner:
             # prompt-seeded continuation (mesh completion); compiled per
             # prompt length — the completion path is a one-off, not the
             # folder-inference hot loop
-            if lookahead > 0 and not sampling:
+            if lookahead > 0:
                 from meshanything_tpu.models.lookahead import generate_lookahead
 
                 return generate_lookahead(
                     params["opt"], cfg.opt, cond,
                     max_new_tokens=cfg.generate_length,
                     window=lookahead, bucket=bucket, attn=attn, wq=wq,
-                    prompt_ids=prompt_ids,
+                    prompt_ids=prompt_ids, sampling=sampling, key=key,
                 )
             return opt_mod.generate(
                 params["opt"], cfg.opt, cond,

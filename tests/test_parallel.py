@@ -92,6 +92,144 @@ def test_dryrun_multichip_self_provisions():
 
 
 # ---------------------------------------------------------------------------
+# Pallas decode kernels under a sharded mesh (VERDICT r2 next #3): the
+# flat (2, L, B, S, H*D) cache layout must partition — batch over
+# "data", head-columns over "model" — with each shard running the
+# kernel on purely local data (per-head attention needs no collective).
+
+
+def _toy_cache(rng, b=4, h=8, d=16, layers=2, s=64):
+    q = jnp.asarray(rng.normal(size=(b, h, d)).astype(np.float32))
+    kv = jnp.asarray(rng.normal(size=(2, layers, b, s, h * d)).astype(np.float32))
+    return q, kv
+
+
+def test_pallas_decode_kernel_under_shard_map(rng):
+    from meshanything_tpu.ops.decode_attention import (
+        decode_attention_impl,
+        decode_attention_reference,
+    )
+
+    q, kv = _toy_cache(rng)
+    layer, cur_len = 1, 37
+    ref = np.asarray(decode_attention_reference(
+        q, kv, jnp.int32(layer), jnp.int32(cur_len)))
+
+    mesh = create_mesh(data=2, model=4)
+
+    def local(q_l, kv_l):
+        # per-shard: (B/2, H/4, D) queries against (2, L, B/2, S, H*D/4)
+        # local cache columns — H*D stays flat per the layout contract
+        return decode_attention_impl(
+            q_l, kv_l, jnp.int32(layer), jnp.int32(cur_len),
+            chunk=16, interpret=True)
+
+    out = jax.shard_map(
+        local, mesh=mesh, check_vma=False,
+        in_specs=(P("data", "model", None), P(None, None, "data", None, "model")),
+        out_specs=P("data", "model", None),
+    )(q, kv)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-5)
+
+
+def test_pallas_mq_kernel_under_shard_map(rng):
+    """The multi-query (lookahead) kernel with PER-ROW base lengths —
+    the base_lens vector shards with the batch."""
+    from meshanything_tpu.ops.decode_attention import (
+        decode_attention_mq_impl,
+        decode_attention_reference,
+    )
+
+    b, h, d, layers, s, w = 4, 8, 16, 2, 64, 3
+    q = jnp.asarray(rng.normal(size=(b, w, h, d)).astype(np.float32))
+    kv = jnp.asarray(rng.normal(size=(2, layers, b, s, h * d)).astype(np.float32))
+    base = jnp.asarray([10, 20, 30, 40], jnp.int32)
+    layer = 0
+
+    # reference: query i of row r sees base[r] + i + 1 rows
+    refs = []
+    for i in range(w):
+        per_row = []
+        for r in range(b):
+            o = decode_attention_reference(
+                q[r: r + 1, i], kv[:, :, r: r + 1], jnp.int32(layer),
+                jnp.int32(int(base[r]) + i + 1))
+            per_row.append(np.asarray(o)[0])
+        refs.append(np.stack(per_row))
+    ref = np.stack(refs, axis=1)                         # (B, W, H, D)
+
+    mesh = create_mesh(data=2, model=4)
+
+    def local(q_l, kv_l, base_l):
+        return decode_attention_mq_impl(
+            q_l, kv_l, jnp.int32(layer), base_l, chunk=16, interpret=True)
+
+    out = jax.shard_map(
+        local, mesh=mesh, check_vma=False,
+        in_specs=(P("data", None, "model", None),
+                  P(None, None, "data", None, "model"),
+                  P("data")),
+        out_specs=P("data", None, "model", None),
+    )(q, kv, base)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-5)
+
+
+def test_pallas_int8_kernel_under_shard_map(rng):
+    """int8 cache + f32 per-row scales: values shard over (data, model),
+    the scales (shared across head columns) shard over data only."""
+    from meshanything_tpu.ops.decode_attention import (
+        decode_attention_int8_impl,
+        decode_attention_reference,
+    )
+    from meshanything_tpu.ops.kvcache import quantize_rows
+
+    q, kv = _toy_cache(rng)
+    layer, cur_len = 0, 41
+    values, s_rows = quantize_rows(kv)                   # (...,S,HD) int8, (...,S,1)
+    scales = jnp.transpose(s_rows, (0, 1, 2, 4, 3))      # (2, L, B, 1, S)
+    deq = values.astype(jnp.float32) * jnp.transpose(scales, (0, 1, 2, 4, 3))
+    ref = np.asarray(decode_attention_reference(
+        q, deq, jnp.int32(layer), jnp.int32(cur_len)))
+
+    mesh = create_mesh(data=2, model=4)
+
+    def local(q_l, v_l, s_l):
+        return decode_attention_int8_impl(
+            q_l, v_l, s_l, jnp.int32(layer), jnp.int32(cur_len),
+            chunk=16, interpret=True)
+
+    out = jax.shard_map(
+        local, mesh=mesh, check_vma=False,
+        in_specs=(P("data", "model", None),
+                  P(None, None, "data", None, "model"),
+                  P(None, None, "data", None, None)),
+        out_specs=P("data", "model", None),
+    )(q, values, scales)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-3, rtol=1e-2)
+
+
+def test_lookahead_generate_dp_sharded_matches_single_device(cfg, params, rng):
+    """Full lookahead generation (the fast tier) under the DP mesh must
+    reproduce the single-device stream — the sharded-inference surface
+    dryrun_multichip exercises (VERDICT r2: the dryrun previously
+    covered only the plain bucket path)."""
+    from meshanything_tpu.models.lookahead import generate_lookahead
+    from meshanything_tpu.models import perceiver as per_mod
+
+    pc = jnp.asarray(rng.normal(size=(4, cfg.perceiver.num_points, 6)).astype(np.float32))
+    ref = np.asarray(ma.generate(params, cfg, pc, bucket=16, lookahead=4).token_ids)
+
+    mesh = create_mesh(data=4, model=2)
+    with mesh:
+        sharded, _ = shard_params(mesh, params)
+        pc_s = jax.device_put(pc, NamedSharding(mesh, P("data", None, None)))
+        out = jax.jit(
+            lambda p, a: ma.generate(p, cfg, a, bucket=16, lookahead=4).token_ids
+        )(sharded, pc_s)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+# ---------------------------------------------------------------------------
 # multi-host scaffolding (VERDICT r1 item 10)
 
 
