@@ -58,6 +58,13 @@ def get_args(argv=None):
                         help="join the jax.distributed process group and shard "
                              "folder inputs per host (no-op on one host) — the "
                              "TPU-native accelerate-DDP equivalent (main.py:113-146)")
+    parser.add_argument("--aot_dir", default=None, type=str,
+                        help="directory of serialized compiled executables "
+                             "(runtime/aot.py): cold-start in seconds instead "
+                             "of minutes of decode compile")
+    parser.add_argument("--precompile", default=False, action="store_true",
+                        help="warm the aot_dir executables for this config/"
+                             "batch (no inputs needed), then run any inputs")
     parser.add_argument("--help", action="help")
 
     return parser.parse_args(argv)
@@ -115,6 +122,8 @@ def collect_inputs(args):
         return [os.path.join(args.input_dir, n) for n in names]
     if args.input_path is not None:
         return [args.input_path]
+    if args.precompile:
+        return []  # warm the executables only
     raise ValueError("input_dir or input_path must be provided.")
 
 
@@ -170,7 +179,15 @@ def main(argv=None):
     pipe = InferencePipeline(
         params, cfg, batch_size=args.batchsize_per_gpu, bucket=args.bucket,
         attn=args.attn, lookahead=args.lookahead, wq=args.wq,
+        aot_dir=args.aot_dir,
     )
+    if args.precompile:
+        t0 = time.time()
+        pipe._runner.precompile(args.batchsize_per_gpu, sampling=args.sampling)
+        print(f"precompile done in {time.time() - t0:.1f}s "
+              f"(executables stored in {args.aot_dir})")
+        if not paths:
+            return []
     begin = time.time()
     print("Generation Start!!!")
     results = pipe.run(samples, out_dir, sampling=args.sampling, seed=args.seed,

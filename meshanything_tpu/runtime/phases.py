@@ -72,22 +72,29 @@ class PhaseRunner:
 
     def __init__(self, params, cfg: MeshAnythingConfig, *, bucket: int = 512,
                  attn: str = "auto", early_exit: bool = True, lookahead: int = 0,
-                 wq: bool = False):
+                 wq: bool = False, aot_dir: Optional[str] = None):
+        """aot_dir: directory for serialized compiled executables
+        (runtime/aot.py) — a second process cold-starts by
+        deserializing instead of paying the multi-minute decode compile
+        (the persistent XLA cache cannot capture this platform's
+        server-side compiles)."""
+        from meshanything_tpu.runtime.aot import AotFunction, AotStore
+
         self.params = params
         self.cfg = cfg
         self.attn = attn
         self.bucket = bucket
         self._lookahead = lookahead
         dtype = cfg.activation_dtype
+        store = AotStore(aot_dir) if aot_dir else None
+        ctx = repr((cfg, bucket, attn, early_exit, lookahead, wq))
 
-        @jax.jit
         def encode(params, pc_normal):
             pf = per_mod.encode_latents(params["perceiver"], cfg.perceiver,
                                         pc_normal.astype(dtype))
             cond = ma.process_point_feature(params, cfg, pf)
             return pf, cond
 
-        @functools.partial(jax.jit, static_argnames=("sampling",))
         def decode(params, cond, key, sampling):
             if lookahead > 0:
                 from meshanything_tpu.models.lookahead import generate_lookahead
@@ -107,8 +114,7 @@ class PhaseRunner:
                 early_exit=early_exit, attn=attn, wq=wq,
             )
 
-        @functools.partial(jax.jit, static_argnames=("sampling",))
-        def decode_prompt(params, cond, key, sampling, prompt_ids):
+        def decode_prompt(params, cond, key, prompt_ids, sampling):
             # prompt-seeded continuation (mesh completion); compiled per
             # prompt length — the completion path is a one-off, not the
             # folder-inference hot loop
@@ -129,7 +135,6 @@ class PhaseRunner:
                 prompt_ids=prompt_ids,
             )
 
-        @jax.jit
         def detok(params, raw, pf):
             ids = ma.token_postprocess(cfg, raw)
             codes = ma.get_codes(params, cfg, ids)
@@ -137,10 +142,30 @@ class PhaseRunner:
                 params["nrd"], cfg.nrd, ids, codes.astype(dtype), pf
             )
 
-        self._encode = encode
-        self._decode = decode
-        self._decode_prompt = decode_prompt
-        self._detok = detok
+        self._encode = AotFunction(encode, "encode", store=store, context=ctx)
+        self._decode = AotFunction(decode, "decode", store=store, context=ctx,
+                                   static_argnames=("sampling",))
+        self._decode_prompt = AotFunction(
+            decode_prompt, "decode_prompt", store=store, context=ctx,
+            static_argnames=("sampling",))
+        self._detok = AotFunction(detok, "detok", store=store, context=ctx)
+
+    def precompile(self, batch: int, *, sampling: bool = False) -> None:
+        """Warm (compile-or-load and persist) every phase program for a
+        batch size WITHOUT executing anything — args are shape structs.
+        A serving process started with the same aot_dir then cold-starts
+        in seconds."""
+        cfg = self.cfg
+        dtype = cfg.activation_dtype
+        sds = jax.ShapeDtypeStruct
+        pc = sds((batch, cfg.perceiver.num_points, 6), jnp.float32)
+        pf = sds((batch, cfg.perceiver.total_latents, cfg.perceiver.width), dtype)
+        cond = sds((batch, cfg.cond_length, cfg.opt.hidden_size), dtype)
+        key = jax.eval_shape(lambda: jax.random.PRNGKey(0))
+        raw = sds((batch, cfg.generate_length), jnp.int32)
+        self._encode.precompile(self.params, pc)
+        self._decode.precompile(self.params, cond, key, sampling=sampling)
+        self._detok.precompile(self.params, raw, pf)
 
     def __call__(self, pc_normal: jax.Array, *, sampling: bool = False,
                  key: Optional[jax.Array] = None, timer=None,
@@ -171,10 +196,11 @@ class PhaseRunner:
             fence(cond)
         with phase("decode"):
             if prompt_ids is not None:
-                raw = self._decode_prompt(self.params, cond, key, sampling,
-                                          jnp.asarray(prompt_ids, jnp.int32))
+                raw = self._decode_prompt(self.params, cond, key,
+                                          jnp.asarray(prompt_ids, jnp.int32),
+                                          sampling=sampling)
             else:
-                raw = self._decode(self.params, cond, key, sampling)
+                raw = self._decode(self.params, cond, key, sampling=sampling)
             fence(raw)
         with phase("detok"):
             coords = self._detok(self.params, raw, pf)

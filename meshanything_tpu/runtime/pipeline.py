@@ -94,6 +94,7 @@ class InferencePipeline:
         attn: str = "auto",
         lookahead: int = 0,
         wq: bool = False,
+        aot_dir: str | None = None,
     ):
         self.cfg = cfg
         self.params = params
@@ -103,7 +104,7 @@ class InferencePipeline:
         from meshanything_tpu.runtime.phases import PhaseRunner
 
         self._runner = PhaseRunner(params, cfg, bucket=bucket, attn=attn,
-                                   lookahead=lookahead, wq=wq)
+                                   lookahead=lookahead, wq=wq, aot_dir=aot_dir)
         self._gen_greedy = lambda p, pc, k: self._runner(pc, sampling=False, key=k)
         self._gen_sample = lambda p, pc, k: self._runner(pc, sampling=True, key=k)
         self.timings: List[dict] = []

@@ -41,7 +41,7 @@ class ServingEngine:
 
     def __init__(self, params, cfg, *, bucket: int = 512, attn: str = "auto",
                  lookahead: int = 0, artifacts_dir: str | None = None,
-                 runner=None):
+                 runner=None, aot_dir: str | None = None):
         import jax
 
         from meshanything_tpu.runtime.phases import PhaseRunner
@@ -56,7 +56,7 @@ class ServingEngine:
         # round-trip instead of recompiling identical shapes)
         if runner is None:
             runner = PhaseRunner(params, cfg, bucket=bucket, attn=attn,
-                                 lookahead=lookahead)
+                                 lookahead=lookahead, aot_dir=aot_dir)
         self._runner = runner
 
     def generate_from_mesh(
@@ -430,7 +430,7 @@ def main(argv=None):
     cfg = build_config(args)
     params = load_params(args, cfg)
     engine = ServingEngine(params, cfg, bucket=args.bucket, attn=args.attn,
-                           lookahead=args.lookahead)
+                           lookahead=args.lookahead, aot_dir=args.aot_dir)
     try:
         import gradio  # noqa: F401
 
