@@ -69,6 +69,7 @@ class ServingEngine:
         do_marching_cubes: bool = False,
         export_artifacts: bool = True,
         partial_faces: np.ndarray | None = None,
+        render: str = "sync",
     ):
         """partial_faces (nf, 3, 3), in the SAME coordinate space as the
         uploaded mesh (e.g. faces cut from it): mesh completion — the
@@ -76,7 +77,15 @@ class ServingEngine:
         (the server holds that transform; clients cannot apply it), are
         discretized to a [bos ‖ face tokens] prompt, and the decoder
         continues them (models/meshanything.py::complete semantics
-        through the phase runner)."""
+        through the phase runner).
+
+        render: "sync" (write the two wireframe previews before
+        returning — gradio-parity), "async" (render on a background
+        thread; result carries ``render_thread`` to join when the PNGs
+        are needed), or "off". The two previews are the dominant
+        host-side cost of a request (~0.4-0.8 s of single-core NumPy
+        rasterization, PERF.md), so the HTTP API defers them off the
+        request thread by default."""
         from meshanything_tpu.geometry import (
             Mesh,
             faces_to_mesh,
@@ -163,6 +172,7 @@ class ServingEngine:
         }
 
         if export_artifacts:
+            import threading
             import uuid
 
             from meshanything_tpu.runtime.render import wireframe_render
@@ -178,8 +188,8 @@ class ServingEngine:
                 return os.path.join(self.artifacts_dir, name)
 
             def preview(mesh_):
-                # cap the preview size: Poly3DCollection over 1e5+ faces
-                # takes minutes; subsample for the render only
+                # cap the preview size: rasterizing 1e5+ faces stalls
+                # the single host core; subsample for the render only
                 if len(mesh_.faces) > 20000:
                     sel = np.linspace(0, len(mesh_.faces) - 1, 20000).astype(int)
                     return mesh_.vertices, mesh_.faces[sel]
@@ -187,12 +197,27 @@ class ServingEngine:
 
             result["input_obj_path"] = apath(f"processed_input_{ts}.obj")
             save_obj(input_mesh, result["input_obj_path"])
-            result["input_render_path"] = wireframe_render(
-                *preview(input_mesh), apath(f"combined_mesh_view_input_{ts}.png"))
             result["output_obj_path"] = apath(f"output_{ts}.obj")
             save_obj(gen_mesh, result["output_obj_path"])
-            result["output_render_path"] = wireframe_render(
-                *preview(gen_mesh), apath(f"combined_mesh_view_output_{ts}.png"))
+
+            if render != "off":
+                in_png = apath(f"combined_mesh_view_input_{ts}.png")
+                out_png = apath(f"combined_mesh_view_output_{ts}.png")
+                in_args = preview(input_mesh)
+                out_args = preview(gen_mesh)
+
+                def do_renders():
+                    wireframe_render(*in_args, in_png)
+                    wireframe_render(*out_args, out_png)
+
+                result["input_render_path"] = in_png
+                result["output_render_path"] = out_png
+                if render == "async":
+                    t = threading.Thread(target=do_renders, daemon=True)
+                    t.start()
+                    result["render_thread"] = t
+                else:
+                    do_renders()
             result["artifact_export_s"] = time.time() - t1
 
         return result
@@ -298,10 +323,16 @@ def _make_handler(engine: ServingEngine):
                 self._error(400, e)
                 return
             try:
+                # renders run OFF the request thread (the two previews
+                # are the dominant host cost per request, PERF.md);
+                # X-Renders: 0 disables them entirely. JSON mode inlines
+                # the PNGs, so it joins the render thread first.
+                want_renders = self.headers.get("X-Renders", "1") != "0"
                 result = engine.generate_from_mesh(
                     mesh.vertices, mesh.faces,
                     seed=seed, do_sampling=sampling, do_marching_cubes=mc,
                     partial_faces=partial_faces,
+                    render="async" if want_renders else "off",
                 )
 
                 def read_text(p):
@@ -317,12 +348,14 @@ def _make_handler(engine: ServingEngine):
                     payload = {
                         "output_obj": read_text(result["output_obj_path"]),
                         "input_obj": read_text(result["input_obj_path"]),
-                        "output_render_png_b64": read_b64(result["output_render_path"]),
-                        "input_render_png_b64": read_b64(result["input_render_path"]),
                         "faces_generated": result["faces_generated"],
                         "faces_final": result["faces_final"],
                         "latency_s": result["latency_s"],
                     }
+                    if want_renders:
+                        result["render_thread"].join()
+                        payload["output_render_png_b64"] = read_b64(result["output_render_path"])
+                        payload["input_render_png_b64"] = read_b64(result["input_render_path"])
                     self.send_response(200)
                     self.send_header("Content-Type", "application/json")
                     self.end_headers()
@@ -336,8 +369,11 @@ def _make_handler(engine: ServingEngine):
                 self.send_header("X-Faces-Final", str(result["faces_final"]))
                 self.send_header("X-Latency-S", f"{result['latency_s']:.3f}")
                 self.send_header("X-Input-Obj", result["input_obj_path"])
-                self.send_header("X-Input-Render", result["input_render_path"])
-                self.send_header("X-Output-Render", result["output_render_path"])
+                if want_renders:
+                    # paths are final; the PNGs may still be being
+                    # written by the render thread at response time
+                    self.send_header("X-Input-Render", result["input_render_path"])
+                    self.send_header("X-Output-Render", result["output_render_path"])
                 self.end_headers()
                 self.wfile.write(obj_text.encode())
             except ValueError as e:

@@ -87,10 +87,28 @@ def test_serving_http_roundtrip(tmp_path, rng):
         with urllib.request.urlopen(req) as r:
             assert r.status == 200
             assert "X-Faces-Generated" in r.headers
-            for h in ("X-Input-Obj", "X-Input-Render", "X-Output-Render"):
-                assert os.path.exists(r.headers[h]), h
+            assert os.path.exists(r.headers["X-Input-Obj"])
+            render_paths = [r.headers["X-Input-Render"], r.headers["X-Output-Render"]]
             text = r.read().decode()
             assert text.startswith("#") or text.startswith("v") or text.strip() == ""
+        # renders are written off the request thread — they land shortly
+        # after the response
+        import time as _time
+
+        deadline = _time.time() + 20
+        while not all(os.path.exists(p) for p in render_paths):
+            assert _time.time() < deadline, render_paths
+            _time.sleep(0.05)
+
+        # X-Renders: 0 skips preview rendering entirely
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=body, method="POST",
+            headers={"X-Seed": "0", "X-Renders": "0"},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            assert "X-Input-Render" not in r.headers
+            assert "X-Output-Render" not in r.headers
 
         # JSON mode: both OBJs + both preview PNGs inline
         req = urllib.request.Request(
@@ -145,6 +163,33 @@ def test_engine_exports_timestamped_artifacts(tmp_path, rng):
     np.testing.assert_array_equal(result["input_mesh"].vertex_colors[0], [255, 165, 0, 255])
     np.testing.assert_array_equal(result["mesh"].face_colors[0] if len(result["mesh"].faces) else [165, 42, 42, 255],
                                   [165, 42, 42, 255])
+
+
+def test_engine_render_modes(tmp_path, rng):
+    """render='async' returns before the previews land (join completes
+    them); render='off' writes no PNGs at all."""
+    from meshanything_tpu.serving import ServingEngine
+
+    cfg = small_test_config(n_max_triangles=2)
+    params = ma.init_meshanything_params(jax.random.PRNGKey(0), cfg)
+    engine = ServingEngine(params, cfg, bucket=16, artifacts_dir=str(tmp_path / "a"))
+
+    v = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                  [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], float)
+    f = np.array([[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7], [0, 1, 5],
+                  [0, 5, 4], [2, 3, 7], [2, 7, 6], [1, 2, 6], [1, 6, 5],
+                  [3, 0, 4], [3, 4, 7]])
+
+    res = engine.generate_from_mesh(v, f, seed=0, render="async")
+    assert "render_thread" in res
+    res["render_thread"].join(timeout=30)
+    for k in ("input_render_path", "output_render_path"):
+        assert os.path.exists(res[k]), k
+
+    res_off = engine.generate_from_mesh(v, f, seed=0, render="off")
+    assert "input_render_path" not in res_off
+    assert "output_render_path" not in res_off
+    assert os.path.exists(res_off["output_obj_path"])
 
 
 def test_serving_http_completion(tmp_path, rng):
