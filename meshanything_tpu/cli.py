@@ -118,7 +118,8 @@ def collect_inputs(args):
         if args.input_type == "pc_normal":
             names = [n for n in names if n.endswith(".npy")]
         else:
-            names = [n for n in names if n.endswith((".ply", ".obj", ".npy"))]
+            names = [n for n in names
+                     if n.endswith((".ply", ".obj", ".npy", ".stl", ".off", ".glb"))]
         return [os.path.join(args.input_dir, n) for n in names]
     if args.input_path is not None:
         return [args.input_path]

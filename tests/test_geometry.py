@@ -205,6 +205,112 @@ def test_fix_normals_vectorized_matches_bfs_oracle():
     assert vol > 3.9  # 4 unit cubes
 
 
+def _tetra():
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], float)
+    f = np.array([[0, 2, 1], [0, 1, 3], [1, 2, 3], [0, 3, 2]])
+    return v, f
+
+
+def test_load_stl_binary_and_ascii(tmp_path):
+    """STL (binary + ascii): trimesh.load accepts it in the reference
+    driver (main.py:33); per-triangle vertices survive and merge back."""
+    import struct
+
+    from meshanything_tpu.geometry.obj_io import load_mesh
+    from meshanything_tpu.geometry.postprocess import merge_vertices
+
+    v, f = _tetra()
+    tri = v[f].astype(np.float32)
+    # binary
+    blob = b"\x00" * 80 + struct.pack("<I", len(tri))
+    for t in tri:
+        blob += struct.pack("<3f", 0, 0, 0)
+        for p in t:
+            blob += struct.pack("<3f", *p)
+        blob += b"\x00\x00"
+    p_bin = tmp_path / "t.stl"
+    p_bin.write_bytes(blob)
+    m = load_mesh(str(p_bin))
+    assert m.faces.shape == (4, 3)
+    mv, mf = merge_vertices(m.vertices, m.faces)
+    assert len(mv) == 4
+    np.testing.assert_allclose(np.sort(mv, axis=0), np.sort(v, axis=0))
+
+    # ascii
+    lines = ["solid t"]
+    for t in tri:
+        lines += ["facet normal 0 0 0", "outer loop"]
+        lines += [f"vertex {p[0]} {p[1]} {p[2]}" for p in t]
+        lines += ["endloop", "endfacet"]
+    lines.append("endsolid t")
+    p_asc = tmp_path / "ta.stl"
+    p_asc.write_text("\n".join(lines) + "\n")
+    m2 = load_mesh(str(p_asc))
+    np.testing.assert_allclose(m2.vertices, m.vertices, atol=1e-6)
+
+
+def test_load_off(tmp_path):
+    from meshanything_tpu.geometry.obj_io import load_mesh
+
+    v, f = _tetra()
+    lines = ["OFF", f"{len(v)} {len(f)} 0"]
+    lines += [f"{p[0]} {p[1]} {p[2]}" for p in v]
+    lines += ["3 " + " ".join(str(i) for i in tri) for tri in f]
+    # plus a quad to exercise fan triangulation
+    lines[1] = f"{len(v)} {len(f) + 1} 0"
+    lines.append("4 0 1 2 3")
+    p = tmp_path / "t.off"
+    p.write_text("\n".join(lines) + "\n")
+    m = load_mesh(str(p))
+    np.testing.assert_allclose(m.vertices, v)
+    assert len(m.faces) == len(f) + 2  # quad -> two triangles
+
+
+def test_load_glb(tmp_path):
+    """Minimal binary glTF with an indexed triangle mesh under a
+    translated node: geometry + node transform must round-trip."""
+    import json
+    import struct
+
+    from meshanything_tpu.geometry.obj_io import load_mesh
+
+    v, f = _tetra()
+    pos = v.astype("<f4").tobytes()
+    idx = f.astype("<u2").tobytes()
+    idx += b"\x00" * (-len(idx) % 4)
+    blob = pos + idx
+    js = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0, "translation": [1.0, 2.0, 3.0]}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0}, "indices": 1}]}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": len(v),
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": f.size,
+             "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": len(pos)},
+            {"buffer": 0, "byteOffset": len(pos), "byteLength": len(idx)},
+        ],
+        "buffers": [{"byteLength": len(blob)}],
+    }
+    jbytes = json.dumps(js).encode()
+    jbytes += b" " * (-len(jbytes) % 4)
+    glb = b"glTF" + struct.pack("<II", 2, 12 + 8 + len(jbytes) + 8 + len(blob))
+    glb += struct.pack("<I4s", len(jbytes), b"JSON") + jbytes
+    glb += struct.pack("<I4s", len(blob), b"BIN\x00") + blob
+    p = tmp_path / "t.glb"
+    p.write_bytes(glb)
+
+    m = load_mesh(str(p))
+    np.testing.assert_allclose(m.vertices, v + np.array([1.0, 2.0, 3.0]))
+    np.testing.assert_array_equal(m.faces, f)
+
+
 def test_fix_normals_nonmanifold_fin():
     """A non-manifold edge (3 incident faces: two cube faces + a fin,
     the triangle-soup case merge_vertices can produce) must not poison
