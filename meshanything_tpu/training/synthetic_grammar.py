@@ -230,18 +230,14 @@ def _unflatten_tree(flat):
     return out
 
 
-def full_scale_probe(steps: int = 600, batch: int = 4, n_max_triangles: int = 100,
-                     lr: float = 1e-3, window: int = 8, seed: int = 0):
-    """Train the FULL 350M architecture on the grammar on one chip, then
-    measure lookahead acceptance and wall-clock speedup with trained
-    (structured) weights — the defensible alternative to random-weight
-    lookahead numbers (PERF.md caveat) while real checkpoints are
-    unavailable offline.
-
-    Run: ``python -m meshanything_tpu.training.synthetic_grammar``
-    (TPU; ~15-30 min dominated by remote compiles). Set
-    ``GRAMMAR_PROBE_CACHE=/tmp/grammar350m.npz`` to save/reuse the
-    trained params across runs."""
+def get_trained_350m(steps: int = 600, batch: int = 4, n_max_triangles: int = 100,
+                     lr: float = 1e-3, seed: int = 0,
+                     cache: str | None = None):
+    """Load-or-train the full 350M architecture on the face grammar;
+    returns (bf16 params, cfg). ``cache`` (default the
+    GRAMMAR_PROBE_CACHE env var, falling back to /tmp/grammar350m.npz)
+    persists the trained f32 tree as a flat npz so bench runs across
+    processes pay the ~10 min train+compile once per machine."""
     import os
     import time
 
@@ -252,7 +248,8 @@ def full_scale_probe(steps: int = 600, batch: int = 4, n_max_triangles: int = 10
 
     cfg = MeshAnythingConfig(n_max_triangles=n_max_triangles)
     t0 = time.time()
-    cache = os.environ.get("GRAMMAR_PROBE_CACHE", "")
+    if cache is None:
+        cache = os.environ.get("GRAMMAR_PROBE_CACHE", "/tmp/grammar350m.npz")
     if cache and os.path.exists(cache):
         flat = np.load(cache)
         params = _unflatten_tree({k: jnp.asarray(v) for k, v in flat.items()})
@@ -276,6 +273,83 @@ def full_scale_probe(steps: int = 600, batch: int = 4, n_max_triangles: int = 10
             print(f"saved trained params to {cache}", flush=True)
 
     params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    return params, cfg
+
+
+def trained_lookahead_bench(window: int = 8, bucket: int = 512, seed: int = 0,
+                            cache: str | None = None):
+    """The bench-facing trained-weights lookahead measurement (VERDICT
+    r2 next #1): acceptance + token agreement on HELD-OUT grammar
+    conditions, plus jitted wall-clock speedup vs plain greedy with the
+    SAME trained bf16 weights. Returns a plain dict for bench.py."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from meshanything_tpu.models import meshanything as ma
+    from meshanything_tpu.models import perceiver as per_mod
+    from meshanything_tpu.models import shape_opt as sopt
+    from meshanything_tpu.models.lookahead import generate_lookahead
+
+    params, cfg = get_trained_350m(seed=seed, cache=cache)
+    held_pc, _, _ = make_grammar_batch(cfg, np.random.default_rng(seed + 99), 2, k=5)
+    attn = "pallas" if jax.default_backend() == "tpu" else "xla"
+    stats = measure_lookahead_acceptance(
+        params, cfg, held_pc, window=window, bucket=bucket, attn=attn)
+
+    pcj = jnp.asarray(held_pc, jnp.bfloat16)
+    pf = per_mod.encode_latents(params["perceiver"], cfg.perceiver, pcj)
+    cond = ma.process_point_feature(params, cfg, pf)
+    # params as jit ARGUMENTS (closure-captured weights ship 1.4 GB of
+    # constants through the remote compile service — HTTP 413)
+    gen_plain = jax.jit(lambda p, c: sopt.generate(
+        p, cfg.opt, c, max_new_tokens=cfg.generate_length, bucket=bucket, attn=attn))
+    gen_look = jax.jit(lambda p, c: generate_lookahead(
+        p, cfg.opt, c, max_new_tokens=cfg.generate_length,
+        window=window, bucket=bucket, attn=attn))
+
+    def timed(fn):
+        out = fn(params["opt"], cond)
+        jax.device_get(np.asarray(out).ravel()[0])
+        t0 = time.time()
+        out = fn(params["opt"], cond)
+        jax.device_get(np.asarray(out).ravel()[0])
+        return time.time() - t0
+
+    t_plain = timed(gen_plain)
+    t_look = timed(gen_look)
+    return {
+        "acceptance": float(stats["acceptance"]),
+        "agreement": float(stats["agreement"]),
+        "t_plain": t_plain,
+        "t_look": t_look,
+        "speedup": t_plain / max(t_look, 1e-9),
+        "window": window,
+        "plain_tokens": int(stats["plain_tokens"]),
+    }
+
+
+def full_scale_probe(steps: int = 600, batch: int = 4, n_max_triangles: int = 100,
+                     lr: float = 1e-3, window: int = 8, seed: int = 0):
+    """Train the FULL 350M architecture on the grammar on one chip, then
+    measure lookahead acceptance and wall-clock speedup with trained
+    (structured) weights — the defensible alternative to random-weight
+    lookahead numbers (PERF.md caveat) while real checkpoints are
+    unavailable offline.
+
+    Run: ``python -m meshanything_tpu.training.synthetic_grammar``
+    (TPU; ~15-30 min dominated by remote compiles). Set
+    ``GRAMMAR_PROBE_CACHE`` to change the params cache location
+    (default /tmp/grammar350m.npz)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    params, cfg = get_trained_350m(
+        steps=steps, batch=batch, n_max_triangles=n_max_triangles,
+        lr=lr, seed=seed)
 
     # measure ON-distribution: (a) the training conditions (greedy
     # replays the learned grammar-structured streams — the acceptance
