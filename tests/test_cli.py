@@ -43,12 +43,13 @@ def test_invalid_attn_rejected():
 
 
 def test_collect_inputs_filters_extensions(tmp_path):
-    for name in ("a.npy", "b.obj", "c.ply", "d.txt", "e.stl"):
+    for name in ("a.npy", "b.obj", "c.ply", "d.txt", "e.stl", "f.off", "g.glb"):
         (tmp_path / name).write_bytes(b"x")
     args = get_args(["--input_dir", str(tmp_path), "--input_type", "pc_normal"])
     assert [os.path.basename(p) for p in collect_inputs(args)] == ["a.npy"]
     args = get_args(["--input_dir", str(tmp_path), "--input_type", "mesh"])
-    assert [os.path.basename(p) for p in collect_inputs(args)] == ["a.npy", "b.obj", "c.ply"]
+    assert [os.path.basename(p) for p in collect_inputs(args)] == [
+        "a.npy", "b.obj", "c.ply", "e.stl", "f.off", "g.glb"]
 
 
 def test_collect_inputs_requires_input():

@@ -49,6 +49,10 @@ def main():
     jax.device_get(out.token_ids.ravel()[0])
     print(f"[{mode}] first mesh: {time.time() - t0:.1f}s "
           f"(total since process start {time.time() - t_start:.1f}s)", flush=True)
+    t0 = time.time()
+    out = runner(pc)
+    jax.device_get(out.token_ids.ravel()[0])
+    print(f"[{mode}] second mesh: {time.time() - t0:.1f}s", flush=True)
 
 
 if __name__ == "__main__":
