@@ -184,9 +184,24 @@ def main(argv=None):
     )
     if args.precompile:
         t0 = time.time()
-        pipe._runner.precompile(args.batchsize_per_gpu, sampling=args.sampling)
-        print(f"precompile done in {time.time() - t0:.1f}s "
-              f"(executables stored in {args.aot_dir})")
+        if args.aot_dir:
+            pipe._runner.precompile(args.batchsize_per_gpu, sampling=args.sampling)
+            print(f"precompile done in {time.time() - t0:.1f}s "
+                  f"(executables stored in {args.aot_dir})")
+        else:
+            # no store: one dummy generation through plain jit — on the
+            # axon tunnel this warms the compile SERVICE's cross-process
+            # cache, after which a fresh process reaches its first mesh
+            # in ~26 s instead of 124-400 s (PERF.md r3 cold-start)
+            import jax
+            import jax.numpy as jnp
+
+            pcw = jnp.zeros(
+                (args.batchsize_per_gpu, cfg.perceiver.num_points, 6), jnp.float32)
+            out = pipe._runner(pcw, sampling=args.sampling)
+            jax.device_get(out.token_ids.ravel()[0])
+            print(f"warmup generation done in {time.time() - t0:.1f}s "
+                  "(compile-service cache warmed for this config)")
         if not paths:
             return []
     begin = time.time()

@@ -18,6 +18,14 @@ stored artifact fails to load (version bump, different machine), the
 wrapper silently falls back to ordinary jit compilation and tries to
 refresh the store.
 
+Platform note (PERF.md r3 cold-start study): on the axon remote-compile
+tunnel, executables produced by lower().compile() — own or
+deserialized — pay ~220 s of server-side work at FIRST execution,
+while plain jit dispatch hits the compile service's own cross-process
+cache (~26 s to first mesh once any process has run the program). So
+on axon leave aot_dir unset and warm with `--precompile` (which then
+runs one dummy generation); use the store on standard PJRT runtimes.
+
 Usage:
     store = AotStore(directory)
     fn = AotFunction(lambda p, x: ..., "decode", store=store,
