@@ -41,7 +41,12 @@ class ServingEngine:
 
     def __init__(self, params, cfg, *, bucket: int = 512, attn: str = "auto",
                  lookahead: int = 0, artifacts_dir: str | None = None,
-                 runner=None, aot_dir: str | None = None):
+                 runner=None, aot_dir: str | None = None, batching: int = 0):
+        """batching > 0 wraps the runner in a dynamic micro-batcher
+        (runtime/batching.py): concurrent requests coalesce into one
+        padded batched decode up to that size — more than doubles chip
+        throughput under load (PERF.md: 12.4 s at B=1 vs 5.2 s/mesh at
+        B=8) while keeping the per-request API."""
         import jax
 
         from meshanything_tpu.runtime.phases import PhaseRunner
@@ -57,6 +62,11 @@ class ServingEngine:
         if runner is None:
             runner = PhaseRunner(params, cfg, bucket=bucket, attn=attn,
                                  lookahead=lookahead, aot_dir=aot_dir)
+        if batching and batching > 1:
+            from meshanything_tpu.runtime.batching import BatchingRunner
+
+            sizes = sorted({s for s in (1, 2, 4, batching) if s <= batching})
+            runner = BatchingRunner(runner, batch_sizes=tuple(sizes))
         self._runner = runner
 
     def generate_from_mesh(
@@ -466,7 +476,8 @@ def main(argv=None):
     cfg = build_config(args)
     params = load_params(args, cfg)
     engine = ServingEngine(params, cfg, bucket=args.bucket, attn=args.attn,
-                           lookahead=args.lookahead, aot_dir=args.aot_dir)
+                           lookahead=args.lookahead, aot_dir=args.aot_dir,
+                           batching=args.batchsize_per_gpu)
     try:
         import gradio  # noqa: F401
 
