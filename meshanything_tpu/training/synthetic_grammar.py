@@ -17,9 +17,16 @@ weights are available (no network egress in this environment).
 """
 from __future__ import annotations
 
+import sys
 from typing import Tuple
 
 import numpy as np
+
+
+def _log(msg: str) -> None:
+    # diagnostics go to stderr: bench.py consumes this module and its
+    # stdout must stay pure JSON metric lines
+    print(msg, file=sys.stderr, flush=True)
 
 from meshanything_tpu.config import MeshAnythingConfig
 
@@ -152,7 +159,7 @@ def train_on_grammar(cfg: MeshAnythingConfig, steps: int = 200, batch: int = 8,
         state, metrics = step_fn(state, pc, ids, labels)
         loss = float(metrics["loss"])
         if verbose and (i % 25 == 0 or i == steps - 1):
-            print(f"step {i}: loss {loss:.4f}", flush=True)
+            _log(f"step {i}: loss {loss:.4f}")
     return state.params, loss
 
 
@@ -253,7 +260,7 @@ def get_trained_350m(steps: int = 600, batch: int = 4, n_max_triangles: int = 10
     if cache and os.path.exists(cache):
         flat = np.load(cache)
         params = _unflatten_tree({k: jnp.asarray(v) for k, v in flat.items()})
-        print(f"loaded trained params from {cache}", flush=True)
+        _log(f"loaded trained params from {cache}")
     else:
         # fixed batch of k=5 grids (like the CPU unit test): measured at
         # 350M, the dense k=8 task (98 faces, ~880 content tokens) gets
@@ -266,11 +273,10 @@ def get_trained_350m(steps: int = 600, batch: int = 4, n_max_triangles: int = 10
         params, loss = train_on_grammar(
             cfg, steps=steps, batch=batch, k=5, seed=seed, lr=lr,
             refresh_every=0, verbose=True, mask_padding=True)
-        print(f"trained 350M on grammar: loss {loss:.4f} in {time.time() - t0:.0f}s",
-              flush=True)
+        _log(f"trained 350M on grammar: loss {loss:.4f} in {time.time() - t0:.0f}s")
         if cache:
             np.savez(cache, **_flatten_tree(params))
-            print(f"saved trained params to {cache}", flush=True)
+            _log(f"saved trained params to {cache}")
 
     params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
     return params, cfg
