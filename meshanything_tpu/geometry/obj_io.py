@@ -304,6 +304,28 @@ def load_glb(path: str) -> Mesh:
                 faces=np.concatenate(all_f).astype(np.int64))
 
 
+def detect_mesh_format(data: bytes) -> str:
+    """Sniff a mesh format from raw bytes -> extension ('obj', 'ply',
+    'stl', 'off', 'glb'). Used by serving for uploads that carry no
+    filename (the HTTP body is just bytes)."""
+    head = data[:512]
+    if head[:4] == b"glTF":
+        return "glb"
+    if head[:3] == b"ply":
+        return "ply"
+    stripped = head.lstrip()
+    if stripped[:3].upper() == b"OFF":
+        return "off"
+    if stripped[:5].lower() == b"solid":
+        return "stl"
+    # binary STL: 80-byte header + uint32 count matching the file size
+    if len(data) >= 84:
+        (count,) = struct.unpack_from("<I", data, 80)
+        if len(data) == 84 + 50 * count:
+            return "stl"
+    return "obj"
+
+
 def load_mesh(path: str) -> Mesh:
     """Load a mesh: .obj / .ply / .stl / .off / .glb — the formats
     trimesh.load accepts in the reference driver (main.py:33)."""

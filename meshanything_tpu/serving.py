@@ -300,11 +300,15 @@ def _make_handler(engine: ServingEngine):
                             body = part.split(b"\r\n\r\n", 1)[1].rsplit(b"\r\n", 1)[0]
                             break
 
-                with tempfile.NamedTemporaryFile(suffix=".obj", delete=False) as fh:
+                from meshanything_tpu.geometry import load_mesh
+                from meshanything_tpu.geometry.obj_io import detect_mesh_format
+
+                # sniff the format: the body is raw bytes with no
+                # filename, and the loaders key off the extension
+                fmt = detect_mesh_format(body)
+                with tempfile.NamedTemporaryFile(suffix=f".{fmt}", delete=False) as fh:
                     fh.write(body)
                     path = fh.name
-                from meshanything_tpu.geometry import load_mesh
-
                 try:
                     mesh = load_mesh(path)
                 finally:

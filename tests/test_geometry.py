@@ -266,6 +266,23 @@ def test_load_off(tmp_path):
     assert len(m.faces) == len(f) + 2  # quad -> two triangles
 
 
+def test_detect_mesh_format(tmp_path):
+    """Byte sniffing for HTTP uploads (no filename): every supported
+    format resolves to the right loader."""
+    import struct
+
+    from meshanything_tpu.geometry.obj_io import detect_mesh_format
+
+    assert detect_mesh_format(b"# comment\nv 0 0 0\nf 1 1 1\n") == "obj"
+    assert detect_mesh_format(b"v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n") == "obj"
+    assert detect_mesh_format(b"ply\nformat ascii 1.0\n") == "ply"
+    assert detect_mesh_format(b"OFF\n4 4 0\n") == "off"
+    assert detect_mesh_format(b"solid thing\nfacet normal 0 0 0\n") == "stl"
+    assert detect_mesh_format(b"glTF" + b"\x00" * 16) == "glb"
+    bin_stl = b"\x00" * 80 + struct.pack("<I", 1) + b"\x00" * 50
+    assert detect_mesh_format(bin_stl) == "stl"
+
+
 def test_load_glb(tmp_path):
     """Minimal binary glTF with an indexed triangle mesh under a
     translated node: geometry + node transform must round-trip."""

@@ -110,6 +110,31 @@ def test_serving_http_roundtrip(tmp_path, rng):
             assert "X-Input-Render" not in r.headers
             assert "X-Output-Render" not in r.headers
 
+        # non-OBJ upload: binary STL body is sniffed and loaded
+        import struct as _struct
+
+        from meshanything_tpu.geometry import load_mesh as _lm  # noqa: F401
+
+        v = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                      [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], float)
+        fidx = np.array([[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+                         [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
+                         [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]])
+        tri = v[fidx].astype(np.float32)
+        stl = b"\x00" * 80 + _struct.pack("<I", len(tri))
+        for t in tri:
+            stl += _struct.pack("<3f", 0, 0, 0)
+            for p in t:
+                stl += _struct.pack("<3f", *p)
+            stl += b"\x00\x00"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=stl, method="POST",
+            headers={"X-Seed": "0", "X-Renders": "0"},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            assert int(r.headers["X-Faces-Generated"]) >= 0
+
         # JSON mode: both OBJs + both preview PNGs inline
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/generate", data=body, method="POST",
