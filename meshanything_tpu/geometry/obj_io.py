@@ -150,9 +150,12 @@ def load_stl(path: str) -> Mesh:
         data = fh.read()
     is_binary = True
     if data[:5].lower() == b"solid":
+        # some binary exporters also start the 80-byte header with
+        # 'solid'; the record-size arithmetic decides. Trailing bytes
+        # are tolerated (trimesh-style >=), not required to match
         if len(data) >= 84:
             (count,) = struct.unpack_from("<I", data, 80)
-            is_binary = len(data) == 84 + 50 * count
+            is_binary = count > 0 and len(data) >= 84 + 50 * count
         else:
             is_binary = False
     if is_binary:
@@ -183,8 +186,11 @@ def load_off(path: str) -> Mesh:
             if hash_at >= 0:
                 line = line[:hash_at]
             tokens.extend(line.split())
-    if not tokens or not tokens[0].upper().endswith("OFF"):
-        raise ValueError(f"{path}: not an OFF file")
+    if not tokens or tokens[0].upper() != "OFF":
+        # COFF/NOFF/STOFF carry extra per-vertex fields this parser does
+        # not model — refuse clearly instead of corrupting coordinates
+        raise ValueError(f"{path}: not a plain OFF file "
+                         f"(header {tokens[0][:8] if tokens else ''!r})")
     pos = 1
     nv, nf = int(tokens[pos]), int(tokens[pos + 1])
     pos += 3  # skip edge count
@@ -314,14 +320,19 @@ def detect_mesh_format(data: bytes) -> str:
     if head[:3] == b"ply":
         return "ply"
     stripped = head.lstrip()
-    if stripped[:3].upper() == b"OFF":
+    first = stripped.split(None, 1)[0].upper() if stripped else b""
+    if first.endswith(b"OFF") and len(first) <= 6:
+        # OFF family incl. COFF/NOFF/STOFF — route to load_off, which
+        # refuses the variants with a clear message instead of letting
+        # the obj parser corrupt the data
         return "off"
     if stripped[:5].lower() == b"solid":
         return "stl"
-    # binary STL: 80-byte header + uint32 count matching the file size
-    if len(data) >= 84:
+    # binary STL: 80-byte header + uint32 count covering the file size
+    # (trailing padding tolerated, matching load_stl)
+    if len(data) >= 84 + 50:
         (count,) = struct.unpack_from("<I", data, 80)
-        if len(data) == 84 + 50 * count:
+        if count > 0 and len(data) >= 84 + 50 * count:
             return "stl"
     return "obj"
 

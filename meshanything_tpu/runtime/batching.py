@@ -21,10 +21,13 @@ Design:
   * a failure inside a batch propagates to every member's Future —
     callers see the exception exactly as in the unbatched path.
 
-Sampling note: rows of one batched call draw from a single PRNG key
-(split per row inside the decode), so a sampled request's stream
-depends on its batch-mates' count — same class of nondeterminism as
-any dynamic-batching server. Greedy requests are unaffected.
+Sampling requests BYPASS batching entirely: a batched decode draws all
+rows from one PRNG key, which would silently discard every other
+request's seed (its advertised seed would have zero effect on its
+stream). Per-seed reproducibility is part of the API contract
+(reference app.py seeds each request), so sampled requests run
+unbatched; only greedy requests — the default and the deterministic
+path — coalesce.
 """
 from __future__ import annotations
 
@@ -58,14 +61,15 @@ class BatchingRunner:
 
     def __call__(self, pc, *, sampling: bool = False, key=None,
                  prompt_ids=None, timer=None):
-        if prompt_ids is not None or np.asarray(pc).shape[0] != 1:
-            # pass-through: variable prompt shapes / already-batched pcs
+        if prompt_ids is not None or sampling or np.asarray(pc).shape[0] != 1:
+            # pass-through: variable prompt shapes, per-seed sampling
+            # (see module docstring), or already-batched pcs
             if prompt_ids is not None:
                 return self._runner(pc, sampling=sampling, key=key,
                                     prompt_ids=prompt_ids)
             return self._runner(pc, sampling=sampling, key=key)
         fut: Future = Future()
-        self._q.put((np.asarray(pc), bool(sampling), key, fut))
+        self._q.put((np.asarray(pc), False, key, fut))
         return fut.result()
 
     # ------------------------------------------------------------------
@@ -81,10 +85,7 @@ class BatchingRunner:
                     batch.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            for flag in (False, True):
-                group = [item for item in batch if item[1] == flag]
-                if group:
-                    self._run_group(group, flag)
+            self._run_group(batch, sampling=False)  # only greedy enqueues
 
     def _pad_size(self, n: int) -> int:
         for s in self._sizes:

@@ -278,6 +278,7 @@ def _make_handler(engine: ServingEngine):
             # fails past this block is a server fault -> 500
             try:
                 import binascii
+                import struct
 
                 length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length)
@@ -323,17 +324,13 @@ def _make_handler(engine: ServingEngine):
                     finally:
                         os.unlink(ppath)
                     partial_faces = pmesh.vertices[pmesh.faces]
-                    # validate the prompt budget NOW (the same bound
-                    # build_face_prompt enforces) so an oversized
-                    # partial gets a 400, not a mid-generation 500
-                    cfg = engine.cfg
-                    max_nf = (cfg.generate_length - 2) // cfg.opt.face_per_token
-                    if len(partial_faces) >= max_nf:
-                        raise ValueError(
-                            f"partial mesh has {len(partial_faces)} faces; "
-                            f"completion needs room to continue — at most "
-                            f"{max_nf - 1} prompt faces allowed")
-            except (binascii.Error, ValueError, KeyError, IndexError) as e:
+                    # an oversized partial raises ValueError from
+                    # build_face_prompt inside the engine, which the
+                    # ValueError->400 branch below maps for the client
+            except (binascii.Error, ValueError, KeyError, IndexError,
+                    struct.error) as e:
+                # struct.error: truncated binary formats (GLB/STL/PLY)
+                # raise it from the loaders — still a client error
                 self._error(400, e)
                 return
             try:
@@ -384,10 +381,13 @@ def _make_handler(engine: ServingEngine):
                 self.send_header("X-Latency-S", f"{result['latency_s']:.3f}")
                 self.send_header("X-Input-Obj", result["input_obj_path"])
                 if want_renders:
-                    # paths are final; the PNGs may still be being
-                    # written by the render thread at response time
+                    # paths are final but the PNGs are written by a
+                    # background thread — X-Renders-Async makes the
+                    # eventual-consistency contract explicit to clients
+                    # that read the files directly
                     self.send_header("X-Input-Render", result["input_render_path"])
                     self.send_header("X-Output-Render", result["output_render_path"])
+                    self.send_header("X-Renders-Async", "1")
                 self.end_headers()
                 self.wfile.write(obj_text.encode())
             except ValueError as e:

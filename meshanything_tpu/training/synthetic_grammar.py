@@ -242,7 +242,9 @@ def get_trained_350m(steps: int = 600, batch: int = 4, n_max_triangles: int = 10
                      cache: str | None = None):
     """Load-or-train the full 350M architecture on the face grammar;
     returns (bf16 params, cfg). ``cache`` (default the
-    GRAMMAR_PROBE_CACHE env var, falling back to /tmp/grammar350m.npz)
+    GRAMMAR_PROBE_CACHE env var, falling back to a /tmp path KEYED BY
+    the training knobs — a cache written for one (steps, batch,
+    n_max_triangles, lr, seed) tuple must never be loaded for another)
     persists the trained f32 tree as a flat npz so bench runs across
     processes pay the ~10 min train+compile once per machine."""
     import os
@@ -256,7 +258,9 @@ def get_trained_350m(steps: int = 600, batch: int = 4, n_max_triangles: int = 10
     cfg = MeshAnythingConfig(n_max_triangles=n_max_triangles)
     t0 = time.time()
     if cache is None:
-        cache = os.environ.get("GRAMMAR_PROBE_CACHE", "/tmp/grammar350m.npz")
+        default = (f"/tmp/grammar350m_s{steps}b{batch}"
+                   f"n{n_max_triangles}lr{lr:g}seed{seed}.npz")
+        cache = os.environ.get("GRAMMAR_PROBE_CACHE", default)
     if cache and os.path.exists(cache):
         flat = np.load(cache)
         params = _unflatten_tree({k: jnp.asarray(v) for k, v in flat.items()})

@@ -112,6 +112,22 @@ def test_prompt_requests_bypass_batching(setup, rng):
     assert batcher.batch_calls == 0  # went straight through
 
 
+def test_sampling_requests_bypass_batching(setup, rng):
+    """A batched decode draws all rows from one key, which would discard
+    every other member's seed — sampled requests must go straight
+    through so each request's advertised seed governs its stream."""
+    cfg, params = setup
+    base = _CountingRunner(params, cfg)
+    batcher = BatchingRunner(base, batch_sizes=(1, 2), max_wait_s=0.01)
+    pc = jnp.asarray(rng.normal(size=(1, cfg.perceiver.num_points, 6)).astype(np.float32))
+    out = batcher(pc, sampling=True, key=jax.random.PRNGKey(7))
+    ref = ma.generate(params, cfg, pc, sampling=True,
+                      key=jax.random.PRNGKey(7), bucket=16)
+    np.testing.assert_array_equal(np.asarray(out.token_ids),
+                                  np.asarray(ref.token_ids))
+    assert batcher.batch_calls == 0  # went straight through
+
+
 def test_serving_engine_batching_wires_up(setup, rng, tmp_path):
     """ServingEngine(batching=2): two concurrent HTTP-level generations
     share one launch."""

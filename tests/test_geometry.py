@@ -249,6 +249,47 @@ def test_load_stl_binary_and_ascii(tmp_path):
     np.testing.assert_allclose(m2.vertices, m.vertices, atol=1e-6)
 
 
+def test_load_stl_binary_solid_header_with_padding(tmp_path):
+    """Binary STL whose 80-byte header starts with 'solid' (SolidWorks
+    style) and carries a trailing padding byte: the record-size
+    arithmetic (>=, trimesh-style) must still route it to the binary
+    parser instead of crashing in the ASCII one."""
+    import struct
+
+    from meshanything_tpu.geometry.obj_io import detect_mesh_format, load_mesh
+
+    v, f = _tetra()
+    tri = v[f].astype(np.float32)
+    header = b"solid exported-part" + b"\x00" * 61
+    blob = header + struct.pack("<I", len(tri))
+    for t in tri:
+        blob += struct.pack("<3f", 0, 0, 0)
+        for p in t:
+            blob += struct.pack("<3f", *p)
+        blob += b"\x00\x00"
+    blob += b"\n"  # trailing padding byte
+    p = tmp_path / "padded.stl"
+    p.write_bytes(blob)
+    m = load_mesh(str(p))
+    assert m.faces.shape == (4, 3)
+    assert detect_mesh_format(blob) == "stl"
+
+
+def test_load_off_rejects_variants(tmp_path):
+    """COFF/NOFF carry extra per-vertex fields this parser does not
+    model — must refuse clearly, not silently corrupt coordinates."""
+    from meshanything_tpu.geometry.obj_io import load_mesh
+
+    v, f = _tetra()
+    lines = ["COFF", f"{len(v)} {len(f)} 0"]
+    lines += [f"{p[0]} {p[1]} {p[2]} 255 0 0 255" for p in v]
+    lines += ["3 " + " ".join(str(i) for i in tri) for tri in f]
+    p = tmp_path / "t.off"
+    p.write_text("\n".join(lines) + "\n")
+    with pytest.raises(ValueError, match="plain OFF"):
+        load_mesh(str(p))
+
+
 def test_load_off(tmp_path):
     from meshanything_tpu.geometry.obj_io import load_mesh
 
@@ -277,6 +318,9 @@ def test_detect_mesh_format(tmp_path):
     assert detect_mesh_format(b"v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n") == "obj"
     assert detect_mesh_format(b"ply\nformat ascii 1.0\n") == "ply"
     assert detect_mesh_format(b"OFF\n4 4 0\n") == "off"
+    # OFF family routes to load_off for a clear variant refusal
+    assert detect_mesh_format(b"COFF\n4 1 0\n") == "off"
+    assert detect_mesh_format(b"OFFSET 1 2 3\n") == "obj"
     assert detect_mesh_format(b"solid thing\nfacet normal 0 0 0\n") == "stl"
     assert detect_mesh_format(b"glTF" + b"\x00" * 16) == "glb"
     bin_stl = b"\x00" * 80 + struct.pack("<I", 1) + b"\x00" * 50

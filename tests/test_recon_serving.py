@@ -88,6 +88,8 @@ def test_serving_http_roundtrip(tmp_path, rng):
             assert r.status == 200
             assert "X-Faces-Generated" in r.headers
             assert os.path.exists(r.headers["X-Input-Obj"])
+            # renders are eventually-consistent; the contract is explicit
+            assert r.headers["X-Renders-Async"] == "1"
             render_paths = [r.headers["X-Input-Render"], r.headers["X-Output-Render"]]
             text = r.read().decode()
             assert text.startswith("#") or text.startswith("v") or text.strip() == ""
@@ -158,6 +160,17 @@ def test_serving_http_roundtrip(tmp_path, rng):
         )
         try:
             urllib.request.urlopen(req)
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # error path: truncated binary format (sniffed as GLB, loader
+        # raises struct.error) must be a 400, not a dropped connection
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=b"glTF\x02\x00", method="POST",
+        )
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected HTTP 400"
         except urllib.error.HTTPError as e:
             assert e.code == 400
     finally:
