@@ -294,3 +294,40 @@ def load_orbax(path: str):
 
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path))
+
+
+def load_orbax_sharded(path: str, shardings):
+    """Restore an orbax checkpoint directly onto device shardings.
+
+    ``shardings`` is a tree of jax.sharding.Sharding congruent with the
+    saved tree (e.g. ``parallel.mesh.param_shardings(mesh, params)``).
+    Each device materializes ONLY its shard straight from storage — no
+    full-size host replica is ever built, which is what makes restoring
+    models larger than one host/chip (the multi-chip serving path)
+    possible. Shapes and dtypes come from the checkpoint's own
+    metadata, so no template params are needed.
+    """
+    import jax
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    meta = ckptr.metadata(path).item_metadata.tree
+    try:
+        abstract = jax.tree_util.tree_map(
+            lambda m, s: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=s),
+            meta, shardings)
+    except ValueError:
+        # the metadata tree is plain dicts/lists while ``shardings`` may
+        # carry the original container types (e.g. optax NamedTuple
+        # states) — zip by flattened leaf order instead
+        meta_leaves, meta_def = jax.tree_util.tree_flatten(meta)
+        shard_leaves = jax.tree_util.tree_leaves(shardings)
+        if len(meta_leaves) != len(shard_leaves):
+            raise ValueError(
+                f"checkpoint has {len(meta_leaves)} arrays but shardings "
+                f"tree has {len(shard_leaves)} leaves")
+        abstract = meta_def.unflatten([
+            jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=s)
+            for m, s in zip(meta_leaves, shard_leaves)])
+    return ckptr.restore(path, abstract)

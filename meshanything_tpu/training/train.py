@@ -86,7 +86,12 @@ def make_sharded_train_step(
         optimizer = make_optimizer()
 
     p_shard = param_shardings(mesh, params)
-    params = jax.device_put(params, p_shard)
+    # reshard via a non-donating jit identity, NOT jax.device_put:
+    # device_put aliases the caller's buffer as the device-0 shard, and
+    # the donated step_fn below would then delete the caller's params
+    # tree out from under them (measured: building a second trainer from
+    # the same tree raised "Array has been deleted")
+    params = jax.jit(lambda p: p, out_shardings=p_shard)(params)
 
     @functools.partial(
         jax.jit,
@@ -111,6 +116,44 @@ def make_sharded_train_step(
                           remat=remat, block_q=block_q)
 
     return state, step_fn
+
+
+def save_train_state(state: TrainState, path: str) -> None:
+    """Persist a (possibly sharded) TrainState with orbax. Works for
+    sharded trees directly — orbax gathers per-shard data from each
+    device; no host-side full replica is built first."""
+    from meshanything_tpu.runtime.checkpoint import save_orbax
+
+    save_orbax({"params": state.params, "opt_state": state.opt_state,
+                "step": state.step}, path)
+
+
+def restore_train_state(path: str, template: TrainState) -> TrainState:
+    """Resume: restore a checkpoint saved by save_train_state directly
+    onto the shardings of ``template`` (a freshly-built state from
+    make_sharded_train_step on the target mesh). Each device reads only
+    its shard from storage, so resuming on a multi-chip mesh never
+    materializes the full optimizer state on one host — the TPU-native
+    replacement for torch.load + DDP broadcast."""
+    from meshanything_tpu.runtime.checkpoint import load_orbax_sharded
+
+    # leaves the trainer left without an explicit mesh placement
+    # (optimizer step counters, template.step) restore as replicated on
+    # the params' mesh — a committed single-device leaf would otherwise
+    # clash with the mesh-sharded params inside the jitted step
+    mesh = next(x.sharding.mesh for x in jax.tree_util.tree_leaves(template.params)
+                if isinstance(x.sharding, NamedSharding))
+    repl = NamedSharding(mesh, P())
+    shardings = jax.tree_util.tree_map(
+        lambda x: x.sharding if isinstance(x.sharding, NamedSharding) else repl,
+        {"params": template.params, "opt_state": template.opt_state,
+         "step": template.step})
+    tree = load_orbax_sharded(path, shardings)
+    return TrainState(params=tree["params"],
+                      opt_state=jax.tree_util.tree_unflatten(
+                          jax.tree_util.tree_structure(template.opt_state),
+                          jax.tree_util.tree_leaves(tree["opt_state"])),
+                      step=tree["step"])
 
 
 def make_batch(cfg: MeshAnythingConfig, rng, batch: int, seq: int):

@@ -183,6 +183,57 @@ def test_train_step_long_seq_remat_blockwise():
         assert int(state.step) == 1
 
 
+def test_sharded_train_state_save_resume(tmp_path):
+    """Checkpoint/resume of the sharded trainer: save TrainState from a
+    (2, 4) mesh, restore onto the shardings of a freshly-built state,
+    and the resumed run is bit-identical to the uninterrupted one (the
+    TPU-native replacement for torch.load + DDP broadcast: every device
+    reads only its shard on restore)."""
+    from meshanything_tpu.models import meshanything as ma
+    from meshanything_tpu.parallel.mesh import create_mesh
+    from meshanything_tpu.training.train import (
+        make_batch,
+        make_sharded_train_step,
+        restore_train_state,
+        save_train_state,
+    )
+
+    cfg = small_test_config(n_max_triangles=2)
+    params = ma.init_meshanything_params(jax.random.PRNGKey(0), cfg)
+    mesh = create_mesh(data=2, model=4)
+    rng = np.random.default_rng(0)
+    pc, ids, labels = make_batch(cfg, rng, batch=2, seq=cfg.generate_length)
+    batch = (jnp.asarray(pc), jnp.asarray(ids), jnp.asarray(labels))
+
+    with mesh:
+        # uninterrupted: two steps straight through
+        state, step_fn = make_sharded_train_step(mesh, cfg, params)
+        s1, _ = step_fn(state, *batch)
+        ref2, _ = step_fn(s1, *batch)
+
+        # interrupted: step, save, rebuild from scratch, restore, step
+        state_b, step_fn_b = make_sharded_train_step(mesh, cfg, params)
+        s1b, _ = step_fn_b(state_b, *batch)
+        path = str(tmp_path / "train_ckpt")
+        save_train_state(s1b, path)
+        fresh, step_fn_c = make_sharded_train_step(mesh, cfg, params)
+        resumed = restore_train_state(path, fresh)
+        assert int(resumed.step) == 1
+        # restored params carry the mesh shardings of the template
+        qkv = resumed.params["opt"]["layers"]["qkv"]["w"]
+        assert qkv.sharding.is_equivalent_to(
+            fresh.params["opt"]["layers"]["qkv"]["w"].sharding, qkv.ndim)
+        got2, _ = step_fn_c(resumed, *batch)
+
+    assert int(got2.step) == 2
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(ref2.params)[0],
+        jax.tree_util.tree_flatten_with_path(got2.params)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(pa))
+
+
 def test_grammar_batch_mask_padding():
     """mask_padding labels exactly [bos, content, one eos] per row and
     -100 elsewhere (the eos tail otherwise dominates 2/3 of the loss
