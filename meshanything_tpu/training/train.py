@@ -156,6 +156,94 @@ def restore_train_state(path: str, template: TrainState) -> TrainState:
                       step=tree["step"])
 
 
+def _step_dirs(ckpt_dir: str):
+    """Sorted [(step, path)] of step_N checkpoint dirs under ckpt_dir."""
+    import os
+
+    out = []
+    if ckpt_dir and os.path.isdir(ckpt_dir):
+        for name in os.listdir(ckpt_dir):
+            if name.startswith("step_") and name[5:].isdigit():
+                out.append((int(name[5:]), os.path.join(ckpt_dir, name)))
+    return sorted(out)
+
+
+def run_training(
+    mesh: Mesh,
+    cfg: MeshAnythingConfig,
+    batches,
+    *,
+    steps: int,
+    params=None,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    ckpt_dir: Optional[str] = None,
+    save_every: int = 0,
+    resume: bool = False,
+    log_every: int = 10,
+    seed: int = 0,
+    remat: bool = True,
+    block_q: int = 0,
+    on_metrics=None,
+) -> TrainState:
+    """Checkpointed training loop over a batch iterator.
+
+    ``batches`` yields ``(pc_normal, token_ids, labels)`` numpy tuples
+    (see make_batch for the contract). Checkpoints land in
+    ``ckpt_dir/step_N`` via the sharded orbax path (each device writes/
+    reads only its shard); ``resume=True`` restarts from the newest one
+    and is bit-identical to an uninterrupted run as long as the iterator
+    is deterministic and re-wound by the caller (the loop consumes one
+    batch per completed step, so a resumed caller should skip the first
+    ``restored_step`` batches — ``python -m meshanything_tpu.training.train``
+    does). The reference ships no trainer at all (README.md:123); this is
+    the torch-DDP-loop equivalent for the (data, model) mesh.
+    """
+    import os
+    import shutil
+    import sys
+
+    if params is None:
+        params = ma.init_meshanything_params(jax.random.PRNGKey(seed), cfg)
+    state, step_fn = make_sharded_train_step(
+        mesh, cfg, params, optimizer, remat=remat, block_q=block_q)
+
+    if resume and ckpt_dir:
+        found = _step_dirs(ckpt_dir)
+        if found:
+            step0, path = found[-1]
+            state = restore_train_state(path, state)
+            print(f"[train] resumed step {step0} from {path}", file=sys.stderr)
+
+    def _save(st: TrainState) -> str:
+        n = int(st.step)
+        path = os.path.join(ckpt_dir, f"step_{n}")
+        if os.path.exists(path):  # re-save of the same step (crash between save and advance)
+            shutil.rmtree(path)
+        save_train_state(st, path)
+        return path
+
+    last_metrics = None
+    while int(state.step) < steps:
+        try:
+            pc, ids, labels = next(batches)
+        except StopIteration:
+            break
+        state, metrics = step_fn(state, pc, ids, labels)
+        last_metrics = metrics
+        n = int(state.step)
+        if log_every and (n % log_every == 0 or n == steps):
+            print(f"[train] step {n}/{steps} "
+                  f"loss {float(metrics['loss']):.4f} "
+                  f"acc {float(metrics['accuracy']):.4f}", file=sys.stderr)
+        if on_metrics is not None:
+            on_metrics(n, metrics)
+        if ckpt_dir and save_every and n % save_every == 0 and n < steps:
+            _save(state)
+    if ckpt_dir and last_metrics is not None:
+        _save(state)
+    return state
+
+
 def make_batch(cfg: MeshAnythingConfig, rng, batch: int, seq: int):
     """Synthetic teacher-forcing batch: tokens = [bos, codes..., eos];
     labels over [cond ‖ tokens] with -100 on the condition region (the shift
@@ -169,3 +257,68 @@ def make_batch(cfg: MeshAnythingConfig, rng, batch: int, seq: int):
     labels = np.full((batch, cfg.cond_length + seq), -100, np.int32)
     labels[:, cfg.cond_length:] = ids
     return pc, ids, labels
+
+
+def grammar_batches(cfg: MeshAnythingConfig, batch: int, *, seed: int = 0,
+                    k: int = 5, skip: int = 0, mask_padding: bool = True):
+    """Deterministic infinite iterator of face-grammar batches (real
+    surface-sampled conditions + serialized face-token streams). On
+    resume, pass skip=<restored step>: skipped batches are drawn and
+    discarded so the RNG stream — and therefore the resumed run — is
+    identical to the uninterrupted one."""
+    import numpy as np
+
+    from meshanything_tpu.training.synthetic_grammar import make_grammar_batch
+
+    rng = np.random.default_rng(seed)
+    i = 0
+    while True:
+        b = make_grammar_batch(cfg, rng, batch, k=k, mask_padding=mask_padding)
+        if i >= skip:
+            yield b
+        i += 1
+
+
+def main(argv=None) -> None:
+    """`python -m meshanything_tpu.training.train` — checkpointed trainer
+    on the procedural face grammar (the reference ships no trainer;
+    real-data token streams plug in via run_training(batches=...))."""
+    import argparse
+
+    from meshanything_tpu.config import MeshAnythingConfig, small_test_config
+    from meshanything_tpu.parallel.mesh import create_mesh
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--dp", type=int, default=1, help="data-parallel axis size")
+    ap.add_argument("--tp", type=int, default=1, help="tensor-parallel axis size")
+    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--ckpt_dir", type=str, default=None)
+    ap.add_argument("--save_every", type=int, default=0)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--log_every", type=int, default=10)
+    ap.add_argument("--full", action="store_true",
+                    help="full 350M config (default: small smoke config)")
+    ap.add_argument("--n_max_triangles", type=int, default=100,
+                    help="face budget for the full config")
+    args = ap.parse_args(argv)
+
+    cfg = (MeshAnythingConfig(n_max_triangles=args.n_max_triangles)
+           if args.full else small_test_config())
+    mesh = create_mesh(data=args.dp, model=args.tp)
+    skip = 0
+    if args.resume and args.ckpt_dir:
+        found = _step_dirs(args.ckpt_dir)
+        skip = found[-1][0] if found else 0
+    batches = grammar_batches(cfg, args.batch, seed=args.seed, skip=skip)
+    run_training(
+        mesh, cfg, batches, steps=args.steps, seed=args.seed,
+        optimizer=make_optimizer(args.lr, steps=args.steps),
+        ckpt_dir=args.ckpt_dir, save_every=args.save_every,
+        resume=args.resume, log_every=args.log_every)
+
+
+if __name__ == "__main__":
+    main()

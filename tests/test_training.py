@@ -234,6 +234,36 @@ def test_sharded_train_state_save_resume(tmp_path):
                                       err_msg=jax.tree_util.keystr(pa))
 
 
+def test_run_training_loop_resume(tmp_path):
+    """run_training end-to-end: 2 steps + crash + resume to 4 equals 4
+    uninterrupted steps bit-for-bit (same deterministic batch stream via
+    grammar_batches(skip=restored_step))."""
+    from meshanything_tpu.parallel.mesh import create_mesh
+    from meshanything_tpu.training.train import grammar_batches, run_training
+
+    cfg = small_test_config(n_max_triangles=4)
+    mesh = create_mesh(data=1, model=1)
+    kw = dict(steps=4, seed=0, log_every=0, save_every=2)
+
+    ref = run_training(mesh, cfg, grammar_batches(cfg, 2, seed=0),
+                       ckpt_dir=str(tmp_path / "a"), **kw)
+    # interrupted at step 2: the step-2 periodic checkpoint survives
+    part = run_training(mesh, cfg, grammar_batches(cfg, 2, seed=0),
+                        ckpt_dir=str(tmp_path / "b"),
+                        steps=2, seed=0, log_every=0, save_every=2)
+    assert int(part.step) == 2
+    got = run_training(mesh, cfg, grammar_batches(cfg, 2, seed=0, skip=2),
+                       ckpt_dir=str(tmp_path / "b"), resume=True, **kw)
+
+    assert int(ref.step) == int(got.step) == 4
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(ref.params)[0],
+        jax.tree_util.tree_flatten_with_path(got.params)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(pa))
+
+
 def test_grammar_batch_mask_padding():
     """mask_padding labels exactly [bos, content, one eos] per row and
     -100 elsewhere (the eos tail otherwise dominates 2/3 of the loss
