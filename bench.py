@@ -235,6 +235,48 @@ def main():
     except Exception as e:
         log(f"serving config failed ({type(e).__name__}: {e})")
 
+    # --- serving under concurrent load (dynamic micro-batching) ------------
+    # 8 concurrent engine-level requests coalesce into ONE padded B=8
+    # decode launch (runtime/batching.py) — reuses the B=1/B=8 programs
+    # the headline sections already compiled. Reference serves strictly
+    # one request at a time (app.py).
+    try:
+        import threading
+
+        from meshanything_tpu.geometry import load_mesh
+        from meshanything_tpu.runtime.batching import BatchingRunner
+        from meshanything_tpu.serving import ServingEngine
+
+        wand = os.path.join(REF, "examples/wand.obj")
+        if os.path.exists(wand):
+            m = load_mesh(wand)
+            batched = BatchingRunner(runner, batch_sizes=(1, 2, 4, 8),
+                                     max_wait_s=4.0)
+            engine_b = ServingEngine(params, cfg, runner=batched,
+                                     artifacts_dir="/tmp/bench_artifacts")
+            nreq = 8
+            done = [None] * nreq
+            t0 = time.time()
+            threads = [threading.Thread(target=lambda i=i: done.__setitem__(
+                i, engine_b.generate_from_mesh(m.vertices, m.faces, seed=0,
+                                               render="off",
+                                               export_artifacts=False)))
+                       for i in range(nreq)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=600)
+            if all(r is not None for r in done):
+                per = (time.time() - t0) / nreq
+                log(f"batched serving: {nreq} concurrent requests, "
+                    f"{batched.batch_calls} launches, {per:.2f}s/request")
+                emit("serving_batched_8x", per)
+            else:
+                log(f"batched serving incomplete: "
+                    f"{sum(r is None for r in done)}/{nreq} requests failed")
+    except Exception as e:
+        log(f"batched serving failed ({type(e).__name__}: {e})")
+
     # --- fast modes (secondary: int8 KV trades exactness) ------------------
     try:
         runner16 = PhaseRunner(params, cfg, bucket=512, attn="pallas_int8",
