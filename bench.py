@@ -274,6 +274,7 @@ def main():
             else:
                 log(f"batched serving incomplete: "
                     f"{sum(r is None for r in done)}/{nreq} requests failed")
+            batched.close()
     except Exception as e:
         log(f"batched serving failed ({type(e).__name__}: {e})")
 

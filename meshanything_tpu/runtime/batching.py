@@ -72,20 +72,38 @@ class BatchingRunner:
         self._q.put((np.asarray(pc), False, key, fut))
         return fut.result()
 
+    def close(self) -> None:
+        """Stop the worker thread (idempotent). Without this the daemon
+        worker blocks in queue.get forever, keeping the wrapped runner —
+        and its param tree — alive for the life of the process."""
+        if self._thread.is_alive():
+            self._q.put(None)
+            self._thread.join(timeout=10)
+
     # ------------------------------------------------------------------
     def _loop(self):
         while True:
-            batch = [self._q.get()]
+            first = self._q.get()
+            if first is None:  # close() sentinel
+                return
+            batch = [first]
+            stop = False
             deadline = time.time() + self._max_wait
             while len(batch) < self._max_batch:
                 remaining = deadline - time.time()
                 if remaining <= 0:
                     break
                 try:
-                    batch.append(self._q.get(timeout=remaining))
+                    item = self._q.get(timeout=remaining)
                 except queue.Empty:
                     break
+                if item is None:  # close() raced an in-flight batch
+                    stop = True
+                    break
+                batch.append(item)
             self._run_group(batch, sampling=False)  # only greedy enqueues
+            if stop:
+                return
 
     def _pad_size(self, n: int) -> int:
         for s in self._sizes:

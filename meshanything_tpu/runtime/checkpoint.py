@@ -296,16 +296,58 @@ def load_orbax(path: str):
     return ckptr.restore(os.path.abspath(path))
 
 
+def to_plain_tree(tree):
+    """Re-container a pytree the way orbax's metadata represents it:
+    NamedTuples become dicts keyed by field name, tuples become lists.
+    Leaf VALUES are untouched. Pairing trees by this normalized
+    structure matches leaves by NAME — never by flattened order, which
+    silently swaps same-shaped leaves whenever a NamedTuple's field
+    order differs from its sorted-key order (dicts flatten sorted)."""
+    if hasattr(tree, "_fields"):  # NamedTuple (e.g. optax states)
+        # empty containers (optax EmptyState) appear as None in orbax
+        # metadata — collapse to match
+        return {f: to_plain_tree(getattr(tree, f))
+                for f in tree._fields} or None
+    if isinstance(tree, dict):
+        return {k: to_plain_tree(v) for k, v in tree.items()} or None
+    if isinstance(tree, (list, tuple)):
+        return [to_plain_tree(v) for v in tree] or None
+    return tree
+
+
+def from_plain_tree(plain, template):
+    """Inverse of to_plain_tree: rebuild ``template``'s container types
+    around the values of ``plain`` (a restored checkpoint tree),
+    matching by field/key names and indices."""
+    if template is None:
+        return None
+    if hasattr(template, "_fields"):
+        return type(template)(**{
+            f: from_plain_tree(plain[f], getattr(template, f))
+            for f in template._fields})
+    if isinstance(template, dict):
+        return {k: from_plain_tree(plain[k], v) for k, v in template.items()}
+    if isinstance(template, (list, tuple)):
+        return type(template)(
+            from_plain_tree(p, t) for p, t in zip(plain, template))
+    return plain
+
+
 def load_orbax_sharded(path: str, shardings):
     """Restore an orbax checkpoint directly onto device shardings.
 
     ``shardings`` is a tree of jax.sharding.Sharding congruent with the
-    saved tree (e.g. ``parallel.mesh.param_shardings(mesh, params)``).
-    Each device materializes ONLY its shard straight from storage — no
-    full-size host replica is ever built, which is what makes restoring
-    models larger than one host/chip (the multi-chip serving path)
-    possible. Shapes and dtypes come from the checkpoint's own
-    metadata, so no template params are needed.
+    saved tree (e.g. ``parallel.mesh.param_shardings(mesh, params)``);
+    NamedTuple/tuple containers (optax states) are matched to the
+    checkpoint by field name via to_plain_tree. Each device
+    materializes ONLY its shard straight from storage — no full-size
+    host replica is ever built, which is what makes restoring models
+    larger than one host/chip (the multi-chip serving path) possible.
+    Shapes and dtypes come from the checkpoint's own metadata, so no
+    template params are needed.
+
+    Returns the checkpoint's plain structure (dicts/lists); use
+    from_plain_tree to rebuild the original container types.
     """
     import jax
     import orbax.checkpoint as ocp
@@ -313,21 +355,7 @@ def load_orbax_sharded(path: str, shardings):
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     meta = ckptr.metadata(path).item_metadata.tree
-    try:
-        abstract = jax.tree_util.tree_map(
-            lambda m, s: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=s),
-            meta, shardings)
-    except ValueError:
-        # the metadata tree is plain dicts/lists while ``shardings`` may
-        # carry the original container types (e.g. optax NamedTuple
-        # states) — zip by flattened leaf order instead
-        meta_leaves, meta_def = jax.tree_util.tree_flatten(meta)
-        shard_leaves = jax.tree_util.tree_leaves(shardings)
-        if len(meta_leaves) != len(shard_leaves):
-            raise ValueError(
-                f"checkpoint has {len(meta_leaves)} arrays but shardings "
-                f"tree has {len(shard_leaves)} leaves")
-        abstract = meta_def.unflatten([
-            jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=s)
-            for m, s in zip(meta_leaves, shard_leaves)])
+    abstract = jax.tree_util.tree_map(
+        lambda m, s: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=s),
+        meta, to_plain_tree(shardings))
     return ckptr.restore(path, abstract)

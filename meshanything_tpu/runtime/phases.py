@@ -9,7 +9,6 @@ postprocessing of batch i with the decode of batch i+1.
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

@@ -69,6 +69,13 @@ class ServingEngine:
             runner = BatchingRunner(runner, batch_sizes=tuple(sizes))
         self._runner = runner
 
+    def close(self) -> None:
+        """Release the engine's runner (stops the micro-batcher's worker
+        thread if batching is enabled). Idempotent."""
+        close = getattr(self._runner, "close", None)
+        if close is not None:
+            close()
+
     def generate_from_mesh(
         self,
         vertices: np.ndarray,

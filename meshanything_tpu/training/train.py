@@ -135,7 +135,10 @@ def restore_train_state(path: str, template: TrainState) -> TrainState:
     its shard from storage, so resuming on a multi-chip mesh never
     materializes the full optimizer state on one host — the TPU-native
     replacement for torch.load + DDP broadcast."""
-    from meshanything_tpu.runtime.checkpoint import load_orbax_sharded
+    from meshanything_tpu.runtime.checkpoint import (
+        from_plain_tree,
+        load_orbax_sharded,
+    )
 
     # leaves the trainer left without an explicit mesh placement
     # (optimizer step counters, template.step) restore as replicated on
@@ -149,10 +152,13 @@ def restore_train_state(path: str, template: TrainState) -> TrainState:
         {"params": template.params, "opt_state": template.opt_state,
          "step": template.step})
     tree = load_orbax_sharded(path, shardings)
+    # rebuild optax's NamedTuple containers matching leaves by FIELD
+    # NAME — flattened-order pairing silently swaps same-shaped leaves
+    # (e.g. adam's mu/nu) for any state whose field order differs from
+    # sorted-key order
     return TrainState(params=tree["params"],
-                      opt_state=jax.tree_util.tree_unflatten(
-                          jax.tree_util.tree_structure(template.opt_state),
-                          jax.tree_util.tree_leaves(tree["opt_state"])),
+                      opt_state=from_plain_tree(tree["opt_state"],
+                                                template.opt_state),
                       step=tree["step"])
 
 

@@ -78,6 +78,27 @@ def test_concurrent_requests_coalesce(setup, rng):
                                       err_msg=f"request {i}")
 
 
+def test_close_stops_worker_thread(setup, rng):
+    """close() terminates the worker (no immortal daemon pinning the
+    runner's params), is idempotent, and a close racing an in-flight
+    batch still serves that batch."""
+    cfg, params = setup
+    base = _CountingRunner(params, cfg)
+    batcher = BatchingRunner(base, batch_sizes=(1, 2), max_wait_s=0.2)
+    pc = rng.normal(size=(1, cfg.perceiver.num_points, 6)).astype(np.float32) * 0.5
+
+    out = [None]
+    t = threading.Thread(target=lambda: out.__setitem__(0, batcher(jnp.asarray(pc))))
+    t.start()
+    time.sleep(0.05)       # request in flight (worker inside its wait window)
+    batcher.close()        # sentinel races the accumulating batch
+    t.join(timeout=120)
+    assert out[0] is not None          # in-flight request still served
+    batcher._thread.join(timeout=60)   # close()'s own join caps at 10 s
+    assert not batcher._thread.is_alive()
+    batcher.close()                    # idempotent
+
+
 def test_single_request_uses_small_program(setup, rng):
     """A lone request must not pay a padded max-batch decode."""
     cfg, params = setup

@@ -171,6 +171,39 @@ def test_orbax_sharded_restore(converted, tmp_path):
     assert shard_shape[-1] == qkv.shape[-1] // 4, shard_shape
 
 
+def test_orbax_sharded_restore_matches_namedtuple_fields_by_name(tmp_path):
+    """NamedTuple containers (optax states) round-trip by FIELD NAME:
+    orbax metadata flattens its dict form in sorted-key order while the
+    NamedTuple flattens in field order, so order-based pairing silently
+    swaps same-shaped leaves whenever those orders differ (zeta/alpha
+    here; optax.apply_if_finite in general)."""
+    import collections
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from meshanything_tpu.parallel.mesh import create_mesh
+    from meshanything_tpu.runtime.checkpoint import (
+        from_plain_tree,
+        load_orbax_sharded,
+    )
+
+    S = collections.namedtuple("S", ["zeta", "alpha"])  # non-sorted fields
+    tree = {"opt_state": (S(zeta=jnp.full((4,), 7.0), alpha=jnp.full((4,), 3.0)),),
+            "x": jnp.arange(4.0)}
+    path = str(tmp_path / "ck_nt")
+    save_orbax(tree, path)
+
+    mesh = create_mesh(data=2, model=4)
+    shardings = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P()), tree)
+    back = from_plain_tree(load_orbax_sharded(path, shardings), tree)
+    assert isinstance(back["opt_state"], tuple)
+    assert isinstance(back["opt_state"][0], S)
+    np.testing.assert_array_equal(np.asarray(back["opt_state"][0].zeta), 7.0)
+    np.testing.assert_array_equal(np.asarray(back["opt_state"][0].alpha), 3.0)
+    np.testing.assert_array_equal(np.asarray(back["x"]), np.arange(4.0))
+
+
 def test_bettertransformer_fused_branch_matches_vanilla():
     """Synthesize a BetterTransformer-fused NRD naming
     (decoder.layer.{i}.in_proj_weight etc., as optimum saves after
