@@ -410,7 +410,10 @@ def _make_handler(engine: ServingEngine):
 def serve_http(engine: ServingEngine, host: str = "127.0.0.1", port: int = 7860):
     server = ThreadingHTTPServer((host, port), _make_handler(engine))
     print(f"MeshAnything-TPU serving on http://{host}:{port}")
-    server.serve_forever()
+    try:
+        server.serve_forever()
+    finally:
+        engine.close()  # stops the micro-batcher worker if enabled
 
 
 def serve_gradio(engine: ServingEngine, examples_dir: str | None = None, **launch_kwargs):

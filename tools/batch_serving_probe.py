@@ -84,6 +84,7 @@ def main():
           f"({t_batch / n:.2f}s/request); launches: {batched.batch_calls} "
           f"(sizes coalesced from {batched.rows_served} rows)", flush=True)
     print(f"throughput gain under load: {t_serial / t_batch:.2f}x", flush=True)
+    batched.close()
 
 
 if __name__ == "__main__":
