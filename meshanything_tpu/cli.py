@@ -44,8 +44,9 @@ def get_args(argv=None):
     parser.add_argument("--lookahead", default=0, type=int,
                         help="Jacobi lookahead window (exact greedy multi-token decode)")
     parser.add_argument("--attn", default="auto",
-                        choices=["auto", "pallas", "pallas_int8", "xla"],
-                        help="decode attention backend (pallas_int8 = fast int8 KV mode)")
+                        choices=["auto", "pallas", "pallas_int8", "pallas_int4", "xla"],
+                        help="decode attention backend (pallas_int8/int4 = "
+                             "fast quantized-KV modes)")
     parser.add_argument("--wq", default=False, action="store_true",
                         help="int8 W8A8 decode weights (fast mode: halves weight "
                              "HBM traffic at small batch; prefill/lm_head stay bf16)")

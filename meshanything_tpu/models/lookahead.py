@@ -57,10 +57,11 @@ class LookaheadState(NamedTuple):
                             # only; zeros and unused in greedy mode)
 
 
-# per-row symmetric int8 — ONE implementation shared with the
-# single-token decode and prefill paths (the scale floor and clip range
-# are a numerical contract with the kernel)
+# per-row symmetric int8/int4 — ONE implementation shared with the
+# single-token decode and prefill paths (the scale floor, clip range
+# and int4 packing are numerical contracts with the kernel)
 from meshanything_tpu.ops.kvcache import quantize_rows as _quantize_rows  # noqa: E402
+from meshanything_tpu.ops.kvcache import quantize_rows_int4 as _quantize_rows_int4  # noqa: E402
 
 
 def _speculative_accept(key: jax.Array, logits: jax.Array, window: jax.Array,
@@ -181,10 +182,11 @@ def _window_step(params, cfg: ShapeOPTConfig, state: LookaheadState,
 
             return jax.lax.fori_loop(0, b, one, buf)
 
-        if attn == "pallas_int8":
+        if attn in ("pallas_int8", "pallas_int4"):
+            qrows = _quantize_rows if attn == "pallas_int8" else _quantize_rows_int4
             values, scales = kv
-            kq, ks_ = _quantize_rows(k)                   # (B,W,HD), (B,W,1)
-            vq, vs_ = _quantize_rows(v)
+            kq, ks_ = qrows(k)                            # (B,W,HD[/2]), (B,W,1)
+            vq, vs_ = qrows(v)
             values = put_rows(values, kq, zero)
             values = put_rows(values, vq, one_)
             scales = put_scales(scales, ks_[..., 0], zero)
@@ -195,10 +197,15 @@ def _window_step(params, cfg: ShapeOPTConfig, state: LookaheadState,
             kv = put_rows(kv, v, one_)
 
         qh = q.reshape(b, w, h, hd)
-        if attn == "pallas_int8":
-            from meshanything_tpu.ops.decode_attention import decode_attention_mq_int8_impl
+        if attn in ("pallas_int8", "pallas_int4"):
+            from meshanything_tpu.ops.decode_attention import (
+                decode_attention_mq_int4_impl,
+                decode_attention_mq_int8_impl,
+            )
 
-            o = decode_attention_mq_int8_impl(
+            impl = (decode_attention_mq_int8_impl if attn == "pallas_int8"
+                    else decode_attention_mq_int4_impl)
+            o = impl(
                 qh, kv[0], kv[1], layer_idx, write_start,
                 chunk=chunk, interpret=interpret,
             ).astype(x.dtype)
@@ -364,13 +371,14 @@ def generate_lookahead(
         return prefill_with_prompt(params, cfg, cond_embeds,
                                    jnp.asarray(prompt_ids, jnp.int32), kv_len)
 
-    if attn == "pallas_int8":
+    if attn in ("pallas_int8", "pallas_int4"):
         # quantize the compact prefix-length cache, THEN pad (same
         # order as shape_opt.generate — padding bf16 first would
         # materialize the full-length bf16 buffer)
+        qrows = _quantize_rows if attn == "pallas_int8" else _quantize_rows_int4
         plen = c + p_len
         logits0, kv_c = _prefill(plen)
-        kq, s_rows = _quantize_rows(kv_c)                  # (..., plen, int8), (..., plen, 1)
+        kq, s_rows = qrows(kv_c)                           # (..., plen, int8), (..., plen, 1)
         values = jnp.pad(kq, ((0, 0), (0, 0), (0, 0), (0, s_max - plen), (0, 0)))
         scales = jnp.transpose(s_rows, (0, 1, 2, 4, 3))    # (2, L, B, 1, plen)
         scales = jnp.pad(scales, ((0, 0), (0, 0), (0, 0), (0, 0), (0, s_max - plen)),

@@ -346,12 +346,13 @@ def _opt_layer_decode(cfg: ShapeOPTConfig, kv_slice_len: int, attn: str = "xla",
 
         zero = jnp.zeros((), jnp.int32)
         one = jnp.ones((), jnp.int32)
-        if attn == "pallas_int8":
-            from meshanything_tpu.ops.kvcache import quantize_rows
+        if attn in ("pallas_int8", "pallas_int4"):
+            from meshanything_tpu.ops.kvcache import quantize_rows, quantize_rows_int4
 
+            qrows = quantize_rows if attn == "pallas_int8" else quantize_rows_int4
             values, scales = kv
-            kq, ks_ = quantize_rows(k_row)
-            vq, vs_ = quantize_rows(v_row)
+            kq, ks_ = qrows(k_row)
+            vq, vs_ = qrows(v_row)
             values = jax.lax.dynamic_update_slice(values, kq, (zero, layer_idx, zero, write_pos, zero))
             values = jax.lax.dynamic_update_slice(values, vq, (one, layer_idx, zero, write_pos, zero))
             # scales: (2, L, B, 1, S) — scalar per row
@@ -364,10 +365,15 @@ def _opt_layer_decode(cfg: ShapeOPTConfig, kv_slice_len: int, attn: str = "xla",
             kv = jax.lax.dynamic_update_slice(kv, k_row, (zero, layer_idx, zero, write_pos, zero))
             kv = jax.lax.dynamic_update_slice(kv, v_row, (one, layer_idx, zero, write_pos, zero))
 
-        if attn == "pallas_int8":
-            from meshanything_tpu.ops.decode_attention import decode_attention_int8_impl
+        if attn in ("pallas_int8", "pallas_int4"):
+            from meshanything_tpu.ops.decode_attention import (
+                decode_attention_int4_impl,
+                decode_attention_int8_impl,
+            )
 
-            o = decode_attention_int8_impl(
+            impl = (decode_attention_int8_impl if attn == "pallas_int8"
+                    else decode_attention_int4_impl)
+            o = impl(
                 q[:, 0], kv[0], kv[1], layer_idx, write_pos + 1,
                 chunk=chunk, interpret=interpret,
             )[:, None]
@@ -513,7 +519,11 @@ def generate(
     context from HBM. attn="pallas_int8": same, with the cache stored
     int8 + per-row scales — halves the dominant HBM traffic for <1%
     attention error (fast mode; token streams may diverge from exact
-    bf16 where logit gaps are sub-quantization). attn="xla" (default
+    bf16 where logit gaps are sub-quantization). attn="pallas_int4":
+    two 4-bit codes per byte (ops/kvcache.py packing contract) —
+    QUARTERS the KV traffic; coarser quantization, so validate
+    agreement per model (tools/trained_agreement_probe.py). attn="xla"
+    (default
     off-TPU): one while_loop per static KV *bucket* — inside a bucket,
     attention reads the slice ``cache[:, :bucket_end]``, so early steps
     never touch the far end of the 7.5k-slot cache. All paths exit
@@ -522,7 +532,7 @@ def generate(
     wq=True (fast mode): the 24 layers' matrices run int8 W8A8 in the
     decode loop (ops/wquant.py) — halves the dominant weight traffic of
     small-batch decode. Prefill, embeddings and lm_head stay bf16.
-    Composes with attn="pallas"/"pallas_int8"/"xla".
+    Composes with attn="pallas"/"pallas_int8"/"pallas_int4"/"xla".
     """
     if attn == "auto":
         attn = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -546,15 +556,16 @@ def generate(
         return prefill_with_prompt(params, cfg, cond_embeds,
                                    jnp.asarray(prompt_ids, jnp.int32), kv_len)
 
-    if attn == "pallas_int8":
+    if attn in ("pallas_int8", "pallas_int4"):
         # quantize the compact prefix-length cache, THEN pad to
         # s_max — padding the bf16 cache first would materialize the
         # full-length bf16 buffer (12 GB at B=16) before quantization
-        from meshanything_tpu.ops.kvcache import quantize_rows
+        from meshanything_tpu.ops.kvcache import quantize_rows, quantize_rows_int4
 
+        qrows = quantize_rows if attn == "pallas_int8" else quantize_rows_int4
         plen = c + p_len
         logits0, kv_c = _prefill(plen)
-        values, row_scale = quantize_rows(kv_c)             # (..., plen, 1) scales
+        values, row_scale = qrows(kv_c)                     # (..., plen, 1) scales
         scales = jnp.transpose(row_scale, (0, 1, 2, 4, 3))  # (2, L, B, 1, plen)
         values = jnp.pad(values, ((0, 0), (0, 0), (0, 0), (0, s_max - plen), (0, 0)))
         scales = jnp.pad(scales, ((0, 0), (0, 0), (0, 0), (0, 0), (0, s_max - plen)),

@@ -65,6 +65,7 @@ def _flash_decode_kernel(
     num_heads: int,
     window: int,
     quantized: bool,
+    bits: int,
     depth: int,
 ):
     if quantized:
@@ -72,6 +73,17 @@ def _flash_decode_kernel(
     else:
         kv_hbm, o_ref, k_buf, v_buf, sem = refs
         scale_hbm = ks_buf = vs_buf = None
+
+    def load_kv(buf_slot):
+        # bits=4: nibble-split + lane-aligned concat (the packing
+        # contract of ops/kvcache.py puts column j's pair at j + HD/2,
+        # so no lane interleave is ever needed)
+        if bits == 4:
+            raw = buf_slot.astype(jnp.int32)
+            hi = jax.lax.shift_right_arithmetic(raw, 4)
+            lo = jnp.bitwise_xor(jnp.bitwise_and(raw, 15), 8) - 8
+            return jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+        return buf_slot.astype(jnp.float32)
 
     b = pl.program_id(0)
     layer = layer_ref[0]
@@ -120,8 +132,8 @@ def _flash_decode_kernel(
         for dma in get_dma(slot, i):
             dma.wait()
 
-        k = k_buf[slot].astype(jnp.float32)                       # (CHUNK, HD)
-        v = v_buf[slot].astype(jnp.float32)
+        k = load_kv(k_buf[slot])                                  # (CHUNK, HD)
+        v = load_kv(v_buf[slot])
 
         logits = jax.lax.dot_general(
             qmat, k, (((1,), (1,)), ((), ())),
@@ -166,18 +178,23 @@ def _flash_decode(
     *,
     chunk: int,
     interpret: bool,
+    bits: int = 8,
     depth: int = 2,
 ) -> jax.Array:
     """Shared pallas_call builder; returns (B, W, H, D).
 
+    bits: quantized-cache code width. 8 = one int8 per element; 4 = two
+    4-bit codes per byte (kv_values last dim is HD//2, packing contract
+    in ops/kvcache.py) — quarters the KV stream vs bf16.
     depth: DMA pipeline depth (buffer slots per stream). 2 = classic
     double buffering; 3 keeps one extra chunk in flight to ride out
     issue-latency gaps between chunks."""
     b, w, h, d = q.shape
     hd = h * d
-    assert kv_values.shape[-1] == hd, (kv_values.shape, h, d)
-    scale = 1.0 / math.sqrt(d)
     quantized = kv_scales is not None
+    packed_hd = hd // 2 if (quantized and bits == 4) else hd
+    assert kv_values.shape[-1] == packed_hd, (kv_values.shape, h, d, bits)
+    scale = 1.0 / math.sqrt(d)
 
     # block-diagonal embedding per (w, h) pair
     eye = jnp.eye(h, dtype=q.dtype)
@@ -188,8 +205,8 @@ def _flash_decode(
         pl.BlockSpec(memory_space=pltpu.HBM),
     ]
     scratch = [
-        pltpu.VMEM((depth, chunk, hd), kv_values.dtype),
-        pltpu.VMEM((depth, chunk, hd), kv_values.dtype),
+        pltpu.VMEM((depth, chunk, packed_hd), kv_values.dtype),
+        pltpu.VMEM((depth, chunk, packed_hd), kv_values.dtype),
     ]
     inputs = [
         jnp.asarray(base_lens, jnp.int32).reshape(b),
@@ -216,7 +233,7 @@ def _flash_decode(
 
     kernel = functools.partial(
         _flash_decode_kernel, chunk=chunk, scale=scale,
-        num_heads=h, window=w, quantized=quantized, depth=depth,
+        num_heads=h, window=w, quantized=quantized, bits=bits, depth=depth,
     )
     out_full = pl.pallas_call(
         kernel,
@@ -320,6 +337,43 @@ def decode_attention_mq_int8_impl(
     missing combination."""
     return _flash_decode(q, kv_values, kv_scales, layer, base_lens,
                          chunk=chunk, interpret=interpret)
+
+
+def decode_attention_int4_impl(
+    q: jax.Array,          # (B, H, D)
+    kv_values: jax.Array,  # (2, L, B, S, H*D//2) int8 — two 4-bit codes/byte
+    kv_scales: jax.Array,  # (2, L, B, 1, S) f32
+    layer: jax.Array,
+    cur_len: jax.Array,
+    *,
+    chunk: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """int4-cache flash-decoding: QUARTERS the dominant KV traffic
+    (2.73 TB/mesh exact, PERF.md bottleneck model). Packing contract in
+    ops/kvcache.py::quantize_rows_int4; coarser than int8 — agreement
+    must be re-validated per model (tools/trained_agreement_probe.py)."""
+    b = q.shape[0]
+    base = jnp.broadcast_to(jnp.asarray(cur_len, jnp.int32) - 1, (b,))
+    out = _flash_decode(q[:, None], kv_values, kv_scales, layer, base,
+                        chunk=chunk, interpret=interpret, bits=4)
+    return out[:, 0]
+
+
+def decode_attention_mq_int4_impl(
+    q: jax.Array,          # (B, W, H, D)
+    kv_values: jax.Array,  # (2, L, B, S, H*D//2) int8
+    kv_scales: jax.Array,  # (2, L, B, 1, S) f32
+    layer: jax.Array,
+    base_lens: jax.Array,  # (B,) int32
+    *,
+    chunk: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Multi-query + int4 cache: lookahead windows over the
+    quarter-width cache — the KV-bound large-batch fast path."""
+    return _flash_decode(q, kv_values, kv_scales, layer, base_lens,
+                         chunk=chunk, interpret=interpret, bits=4)
 
 
 def decode_attention_reference(q, kv_cache, layer, cur_len):

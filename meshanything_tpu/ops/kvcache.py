@@ -51,3 +51,37 @@ def quantize_rows(rows: jax.Array) -> Tuple[jax.Array, jax.Array]:
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(rows.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
     return q, scale
+
+
+# ---------------------------------------------------------------------------
+# int4: two 4-bit codes per byte — quarters the dominant KV traffic
+#
+# Packing contract (shared with ops/decode_attention.py `bits=4`): byte
+# j of a packed (..., D//2) row holds original column j in its LOW
+# nibble and column j + D//2 in its HIGH nibble, both 4-bit two's
+# complement in [-7, 7]. Unpacking is then a nibble split + ONE
+# lane-aligned concat — no interleave/shuffle on the TPU lane dim.
+
+
+def quantize_rows_int4(rows: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Quantize K/V rows (..., D) -> (packed int8 (..., D//2), scales).
+
+    Symmetric per-row scale = amax / 7 (4-bit range [-7, 7])."""
+    d = rows.shape[-1]
+    assert d % 2 == 0, d
+    amax = jnp.max(jnp.abs(rows.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(rows.astype(jnp.float32) / scale), -7, 7).astype(jnp.int32)
+    lo, hi = q[..., : d // 2], q[..., d // 2:]
+    packed = jnp.bitwise_or(jnp.left_shift(hi, 4), jnp.bitwise_and(lo, 15))
+    return packed.astype(jnp.int8), scale
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """Inverse of the int4 packing: (..., D//2) int8 -> (..., D) int32
+    codes in [-8, 7]. XLA/test helper — the Pallas kernel inlines the
+    same nibble math on its VMEM tiles."""
+    raw = packed.astype(jnp.int32)
+    hi = jnp.right_shift(raw, 4)                      # arithmetic: keeps sign
+    lo = jnp.bitwise_xor(jnp.bitwise_and(raw, 15), 8) - 8  # sign-extend 4 bits
+    return jnp.concatenate([lo, hi], axis=-1)

@@ -22,15 +22,20 @@ from meshanything_tpu.models import shape_opt as opt_mod
 
 
 def estimate_kv_bytes(cfg: MeshAnythingConfig, batch: int, bucket: int = 512,
-                      int8: bool = False, extra_tokens: int = 0) -> int:
+                      int8: bool = False, extra_tokens: int = 0,
+                      int4: bool = False) -> int:
     """Upper-bound KV-cache footprint for a generation batch.
 
-    extra_tokens: lookahead windows extend the cache by W slots."""
+    extra_tokens: lookahead windows extend the cache by W slots.
+    int4 packs two codes per byte (the per-row f32 scales shared with
+    int8 add <1% and are covered by the workspace headroom)."""
     c = cfg.cond_length
     s_max = -(-(c + cfg.generate_length + extra_tokens) // bucket) * bucket
-    per_elem = 1 if int8 else 2
     o = cfg.opt
-    return 2 * o.num_layers * batch * s_max * o.hidden_size * per_elem
+    elems = 2 * o.num_layers * batch * s_max * o.hidden_size
+    if int4:
+        return elems // 2
+    return elems * (1 if int8 else 2)
 
 
 def param_tree_bytes(params) -> int:
@@ -53,7 +58,8 @@ def check_memory_budget(cfg: MeshAnythingConfig, batch: int, bucket: int = 512,
     param_bytes: measured param-tree size (param_tree_bytes); defaults
     to the 350M-model bf16 slab if not supplied."""
     int8 = attn == "pallas_int8"
-    kv = estimate_kv_bytes(cfg, batch, bucket, int8, extra_tokens)
+    int4 = attn == "pallas_int4"
+    kv = estimate_kv_bytes(cfg, batch, bucket, int8, extra_tokens, int4=int4)
     weights = int(350e6 * 2) if param_bytes is None else param_bytes
     est = kv + weights + (kv // 4)  # workspace headroom
     if est > limit_bytes:

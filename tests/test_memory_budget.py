@@ -10,12 +10,15 @@ def test_estimate_kv_bytes_full_scale():
     per = estimate_kv_bytes(cfg, 1)
     assert 0.7e9 < per < 0.8e9
     assert estimate_kv_bytes(cfg, 1, int8=True) == per // 2
+    assert estimate_kv_bytes(cfg, 1, int4=True) == per // 4
 
 
 def test_budget_accepts_known_good_configs():
     cfg = MeshAnythingConfig()
     check_memory_budget(cfg, 8)                        # bf16 B=8: measured OK
     check_memory_budget(cfg, 16, attn="pallas_int8")   # int8 B=16: measured OK
+    # int4 B=32: same cache bytes as the measured-OK int8 B=16
+    check_memory_budget(cfg, 32, attn="pallas_int4")
 
 
 def test_budget_rejects_worker_killers():

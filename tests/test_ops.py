@@ -112,6 +112,84 @@ def test_decode_attention_int8_interpret_close_to_exact(rng):
                                        err_msg=f"layer={layer} cur={cur}")
 
 
+def test_kv_int4_pack_unpack_roundtrip(rng):
+    """int4 packing: codes survive the nibble round-trip exactly and the
+    dequantized rows stay within half a quantization step of the source
+    (per-row symmetric scale = amax/7)."""
+    from meshanything_tpu.ops.kvcache import quantize_rows_int4, unpack_int4
+
+    rows = jnp.asarray(rng.normal(size=(3, 5, 128)).astype(np.float32))
+    packed, scale = quantize_rows_int4(rows)
+    assert packed.shape == (3, 5, 64) and packed.dtype == jnp.int8
+    codes = np.asarray(unpack_int4(packed))
+    expect = np.clip(np.round(np.asarray(rows) / np.asarray(scale)), -7, 7)
+    np.testing.assert_array_equal(codes, expect.astype(np.int32))
+    back = codes * np.asarray(scale)
+    err = np.abs(back - np.asarray(rows))
+    assert (err <= np.asarray(scale)[..., 0, None] * 0.5 + 1e-6).all()
+
+
+def test_decode_attention_int4_interpret_close_to_exact(rng):
+    """int4 single-query kernel vs the exact reference on the same
+    (dequantized) content: the in-kernel nibble unpack must reproduce
+    the packed codes bit-exactly, leaving quantization as the only
+    error source."""
+    from meshanything_tpu.ops.decode_attention import decode_attention_int4_impl
+    from meshanything_tpu.ops.kvcache import quantize_rows_int4, unpack_int4
+
+    B, H, D, S, L = 2, 4, 64, 256, 2
+    q = jnp.asarray(rng.normal(size=(B, H, D)).astype(np.float32))
+    kv = jnp.asarray(rng.normal(size=(2, L, B, S, H * D)).astype(np.float32) * 0.3)
+    values, scales = quantize_rows_int4(kv)
+    scales_t = jnp.transpose(scales, (0, 1, 2, 4, 3))  # (2, L, B, 1, S)
+    dequant = unpack_int4(values).astype(jnp.float32) * scales
+
+    for layer in (0, 1):
+        for cur in (3, 127, 200):
+            out = decode_attention_int4_impl(
+                q, values, scales_t, layer, cur, chunk=128, interpret=True,
+            )
+            ref = decode_attention_reference(q, dequant, layer, cur)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-5, rtol=1e-4,
+                                       err_msg=f"layer={layer} cur={cur}")
+
+
+def test_decode_attention_mq_int4_interpret(rng):
+    """int4 + multi-query (lookahead over the quarter-width cache) vs
+    per-query masked attention over the dequantized cache."""
+    import math
+
+    from meshanything_tpu.ops.decode_attention import decode_attention_mq_int4_impl
+    from meshanything_tpu.ops.kvcache import quantize_rows_int4, unpack_int4
+
+    B, W, H, D, S, L = 2, 4, 4, 64, 256, 2
+    q = jnp.asarray(rng.normal(size=(B, W, H, D)).astype(np.float32))
+    kv = jnp.asarray(rng.normal(size=(2, L, B, S, H * D)).astype(np.float32) * 0.3)
+    values, scales = quantize_rows_int4(kv)
+    scales_t = jnp.transpose(scales, (0, 1, 2, 4, 3))
+    dequant = np.asarray(unpack_int4(values).astype(jnp.float32) * scales)
+    base = jnp.asarray([100, 37], jnp.int32)
+
+    for layer in (0, 1):
+        out = decode_attention_mq_int4_impl(
+            q, values, scales_t, layer, base, chunk=128, interpret=True,
+        )
+        k = dequant[0, layer].reshape(B, S, H, D)
+        v = dequant[1, layer].reshape(B, S, H, D)
+        scale = 1.0 / math.sqrt(D)
+        ref = np.zeros((B, W, H, D), np.float32)
+        for b in range(B):
+            for w in range(W):
+                cur = int(base[b]) + w + 1
+                logits = np.einsum("hd,shd->hs", np.asarray(q[b, w]) * scale, k[b, :cur])
+                p = np.exp(logits - logits.max(-1, keepdims=True))
+                p /= p.sum(-1, keepdims=True)
+                ref[b, w] = np.einsum("hs,shd->hd", p, v[b, :cur])
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-4,
+                                   err_msg=f"layer={layer}")
+
+
 def test_decode_attention_mq_int8_interpret(rng):
     """int8 + multi-query (the lookahead-over-quantized-cache path) vs
     per-query masked attention over the dequantized cache."""

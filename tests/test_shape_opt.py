@@ -211,7 +211,7 @@ def test_sampling_filters_match_hf():
     np.testing.assert_allclose(ours[finite], hf[finite], atol=1e-6)
 
 
-@pytest.mark.parametrize("attn", ["xla", "pallas", "pallas_int8"])
+@pytest.mark.parametrize("attn", ["xla", "pallas", "pallas_int8", "pallas_int4"])
 def test_prompt_seeded_generate_matches_plain(rng, attn):
     """generate(prompt_ids=plain[:, :P]) must reproduce plain greedy's
     stream exactly: the one-pass prompt prefill (prefill_with_prompt)
