@@ -74,6 +74,9 @@ def main():
     rows = []
     for label, kwargs in (
         ("int8 KV", {"attn_mode": "pallas_int8" if on_tpu else "xla"}),
+        ("int4 KV", {"attn_mode": "pallas_int4" if on_tpu else "xla"}),
+        (f"int4+la{window}", {"attn_mode": "pallas_int4" if on_tpu else "xla",
+                              "lookahead": window}),
         ("w8a8", {"attn_mode": attn, "wq": True}),
         (f"bf16 lookahead W={window}", {"attn_mode": attn, "lookahead": window}),
         (f"w8a8+int8+la{window}", {"attn_mode": "pallas_int8" if on_tpu else "xla",
