@@ -61,7 +61,19 @@ def check_memory_budget(cfg: MeshAnythingConfig, batch: int, bucket: int = 512,
     int4 = attn == "pallas_int4"
     kv = estimate_kv_bytes(cfg, batch, bucket, int8, extra_tokens, int4=int4)
     weights = int(350e6 * 2) if param_bytes is None else param_bytes
-    est = kv + weights + (kv // 4)  # workspace headroom
+    # Batch-scaled activation transients: the encoder's f32 cross-attn
+    # scores (heads x 257 x 4096) and the detokenizer's dense
+    # bidirectional scores (heads x 1057^2) materialize ~100 MB per
+    # batch row at full scale, outside the flash-decode path. Measured:
+    # int4 B=32 crashed the worker at the SAME kv bytes as the
+    # measured-OK int8 B=16 — KV bytes alone understate the footprint
+    # (PERF.md r3). x1.25 covers the smaller per-layer residuals.
+    p, n = cfg.perceiver, cfg.nrd
+    ntok = n.cond_length + cfg.n_max_triangles
+    act_row = 4 * (p.heads * p.total_latents * p.num_points
+                   + n.num_heads * ntok * ntok)
+    act = batch * act_row * 5 // 4
+    est = kv + weights + (kv // 4) + act  # workspace headroom
     if est > limit_bytes:
         raise ValueError(
             f"estimated device footprint {est / 1e9:.1f} GB exceeds the "

@@ -17,8 +17,7 @@ def test_budget_accepts_known_good_configs():
     cfg = MeshAnythingConfig()
     check_memory_budget(cfg, 8)                        # bf16 B=8: measured OK
     check_memory_budget(cfg, 16, attn="pallas_int8")   # int8 B=16: measured OK
-    # int4 B=32: same cache bytes as the measured-OK int8 B=16
-    check_memory_budget(cfg, 32, attn="pallas_int4")
+    check_memory_budget(cfg, 16, attn="pallas_int4")   # int4 B=16: measured OK
 
 
 def test_budget_rejects_worker_killers():
@@ -27,6 +26,11 @@ def test_budget_rejects_worker_killers():
         check_memory_budget(cfg, 32, attn="pallas_int8")  # crashed the worker
     with pytest.raises(ValueError, match="exceeds"):
         check_memory_budget(cfg, 16)                      # bf16 B=16: 12 GB cache
+    # int4 B=32 has the SAME kv bytes as the measured-OK int8 B=16 but
+    # crashed the worker anyway (PERF.md r3): batch-scaled f32 attention
+    # transients in encode/detok must be part of the model
+    with pytest.raises(ValueError, match="exceeds"):
+        check_memory_budget(cfg, 32, attn="pallas_int4")
 
 
 def test_budget_uses_measured_param_bytes():
