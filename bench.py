@@ -10,7 +10,7 @@ Methodology: the full 350M pipeline (perceiver encode + condition +
 7,202-token AR decode + detokenizer) at the 800-face cap with early-exit
 disabled — the honest comparable to the reference's "~30 s per mesh on
 A6000" (README.md:116), which is full-length generation. Exact bf16
-numerics are the headline; fast modes (int8 KV, lookahead) and the
+numerics are the headline; fast modes (int8/int4 KV, lookahead) and the
 BASELINE.json fixture configs (mouse.npy pc path, wand.obj mesh path,
 serving round-trip) are emitted as secondary metric lines, along with a
 measured HBM bandwidth floor for exact mode (the speed-of-light proof —
@@ -294,9 +294,16 @@ def main():
     # tests/test_lookahead.py), so these are fast-mode secondaries.
     # wq (int8 W8A8 decode weights, ops/wquant.py) halves the weight
     # traffic that dominates small-batch latency.
+    # int4 KV packs two codes per byte (ops/kvcache.py), quartering the
+    # decode's dominant HBM stream; trained-350M token agreement is
+    # 1.0000 for both int4 and int4+lookahead (PERF.md r3). B=16 is the
+    # largest batch the budget model admits (B=32's batch-scaled f32
+    # encode/detok transients crashed the worker).
     for attn, batch, la, wq, metric, label in (
         ("pallas", 8, 8, False, "mesh_latency_800f_la8_b8", "bf16+lookahead W=8 B=8"),
         ("pallas_int8", 16, 8, False, "mesh_latency_800f_int8_la8_b16", "int8+lookahead W=8 B=16"),
+        ("pallas_int4", 16, 0, False, "mesh_latency_800f_int4_b16", "int4 KV B=16"),
+        ("pallas_int4", 16, 8, False, "mesh_latency_800f_int4_la8_b16", "int4+lookahead W=8 B=16"),
         ("pallas_int8", 1, 0, True, "mesh_latency_800f_w8a8_int8_b1", "w8a8+int8KV B=1"),
         # best single-mesh latency (w8a8 at large batch/lookahead adds
         # nothing — weights are already amortized there, PERF.md)
