@@ -296,14 +296,14 @@ def main():
     # traffic that dominates small-batch latency.
     # int4 KV packs two codes per byte (ops/kvcache.py), quartering the
     # decode's dominant HBM stream; trained-350M token agreement is
-    # 1.0000 for both int4 and int4+lookahead (PERF.md r3). B=16 is the
-    # largest batch the budget model admits (B=32's batch-scaled f32
-    # encode/detok transients crashed the worker).
+    # 1.0000 for both int4 and int4+lookahead (PERF.md r3). B=28 is the
+    # largest batch inside the measured HBM envelope (B=32 crashed the
+    # worker; check_memory_budget rejects it).
     for attn, batch, la, wq, metric, label in (
         ("pallas", 8, 8, False, "mesh_latency_800f_la8_b8", "bf16+lookahead W=8 B=8"),
         ("pallas_int8", 16, 8, False, "mesh_latency_800f_int8_la8_b16", "int8+lookahead W=8 B=16"),
-        ("pallas_int4", 16, 0, False, "mesh_latency_800f_int4_b16", "int4 KV B=16"),
-        ("pallas_int4", 16, 8, False, "mesh_latency_800f_int4_la8_b16", "int4+lookahead W=8 B=16"),
+        ("pallas_int4", 28, 0, False, "mesh_latency_800f_int4_b28", "int4 KV B=28"),
+        ("pallas_int4", 24, 8, False, "mesh_latency_800f_int4_la8_b24", "int4+lookahead W=8 B=24"),
         ("pallas_int8", 1, 0, True, "mesh_latency_800f_w8a8_int8_b1", "w8a8+int8KV B=1"),
         # best single-mesh latency (w8a8 at large batch/lookahead adds
         # nothing — weights are already amortized there, PERF.md)

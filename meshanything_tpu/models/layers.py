@@ -179,6 +179,96 @@ def flash_attention_causal(
     return ys.transpose(1, 0, 2, 3, 4).reshape(b, n, h, d)
 
 
+def flash_attention_full(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    dual_sqrt_scale: bool = False,
+    block_q: int = 128,
+    block_k: int = 512,
+) -> jax.Array:
+    """Blockwise full (non-causal) attention with online softmax — the
+    memory-lean equivalent of ``attention(mask=None, causal=False)``.
+
+    Why: the two one-shot passes outside the decode loop materialize
+    batch-scaled f32 score matrices under the dense formulation — the
+    perceiver encoder's 257x4096 cross-attention (sal_perceiver.py:93
+    semantics) and the NRD detokenizer's 1057^2 bidirectional layers
+    (meshanything.py:62-64 semantics) — ~100 MB/batch-row at full scale,
+    the transients that capped the int4 batch at 16 and crashed the
+    worker at B=32 (PERF.md r3). This never holds more than one
+    (block_q, block_k) f32 tile per head.
+
+    Supports cross-attention (len(q) != len(k)) and arbitrary lengths:
+    inputs are zero-padded to block multiples and padded KEYS are masked
+    to -inf (exact — padded queries are sliced off the output). Math
+    matches ``attention``: f32 logits/softmax, probabilities cast to
+    q.dtype for the PV matmul, f32 accumulation.
+    """
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
+    if dual_sqrt_scale:
+        s = 1.0 / math.sqrt(math.sqrt(d))
+        q = q * jnp.asarray(s, q.dtype)
+        k = k * jnp.asarray(s, k.dtype)
+    else:
+        s = (1.0 / math.sqrt(d)) if scale is None else scale
+        q = q * jnp.asarray(s, q.dtype)
+
+    block_q = min(block_q, max(nq, 1))
+    block_k = min(block_k, max(nk, 1))
+    pq = (-nq) % block_q
+    pk = (-nk) % block_k
+    if pq:
+        q = jnp.pad(q, ((0, 0), (0, pq), (0, 0), (0, 0)))
+    if pk:
+        k = jnp.pad(k, ((0, 0), (0, pk), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pk), (0, 0), (0, 0)))
+    nqp, nkp = nq + pq, nk + pk
+    nqb, nkb = nqp // block_q, nkp // block_k
+
+    kb = k.reshape(b, nkb, block_k, h, d).transpose(1, 0, 2, 3, 4)
+    vb = v.reshape(b, nkb, block_k, h, d).transpose(1, 0, 2, 3, 4)
+    qb = q.reshape(b, nqb, block_q, h, d).transpose(1, 0, 2, 3, 4)
+    # key-validity per block: only the final block can contain padding
+    kvalid = (jnp.arange(nkb)[:, None] * block_k + jnp.arange(block_k)[None]) < nk
+    neg = jnp.float32(-1e30)
+
+    def q_block(_, qblk):  # qblk: (B, bq, H, D)
+        def k_block(carry, kv_blk):
+            m, l, acc = carry
+            kblk, vblk, valid = kv_blk
+            logits = jnp.einsum(
+                "bqhd,bshd->bhqs", qblk, kblk, preferred_element_type=jnp.float32
+            )
+            logits = jnp.where(valid[None, None, None], logits, neg)
+            m_new = jnp.maximum(m, logits.max(axis=-1))            # (B, H, bq)
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(logits - m_new[..., None])                 # (B, H, bq, bk)
+            l_new = l * alpha + p.sum(axis=-1)
+            pv = jnp.einsum(
+                "bhqs,bshd->bqhd", p.astype(q.dtype), vblk,
+                preferred_element_type=jnp.float32,
+            )
+            acc_new = acc * alpha.transpose(0, 2, 1)[..., None] + pv
+            return (m_new, l_new, acc_new), None
+
+        init = (
+            jnp.full((b, h, block_q), neg),
+            jnp.zeros((b, h, block_q), jnp.float32),
+            jnp.zeros((b, block_q, h, d), jnp.float32),
+        )
+        (m, l, acc), _ = jax.lax.scan(k_block, init, (kb, vb, kvalid))
+        out = acc / jnp.maximum(l, 1e-30).transpose(0, 2, 1)[..., None]
+        return None, out.astype(q.dtype)
+
+    _, ys = jax.lax.scan(q_block, None, qb)  # (nqb, B, bq, H, D)
+    out = ys.transpose(1, 0, 2, 3, 4).reshape(b, nqp, h, d)
+    return out[:, :nq]
+
+
 def self_attention_block(
     x: jax.Array,
     p: dict,
@@ -216,18 +306,24 @@ def cross_attention_block(
     num_heads: int,
     dual_sqrt_scale: bool = True,
     ln_eps: float = 1e-5,
+    blockwise: bool = False,
 ) -> jax.Array:
     """Michelangelo ResidualCrossAttentionBlock (transformer_blocks.py:188-226).
 
     Params: ln_q, ln_kv, q/{w[,b]}, kv/{w[,b]}, proj/{w,b}, ln_mlp,
             fc/{w,b}, fc_out/{w,b}.
+
+    blockwise swaps the dense score matrix for flash_attention_full —
+    used where ``len(x) x len(data)`` is large and batch-scaled (the
+    encoder's 257x4096 point cross-attention, recon's grid queries).
     """
     hq = layer_norm(x, p["ln_q"]["scale"], p["ln_q"]["bias"], ln_eps)
     hk = layer_norm(data, p["ln_kv"]["scale"], p["ln_kv"]["bias"], ln_eps)
     q = linear(hq, p["q"]["w"], p["q"].get("b"))
     kv = linear(hk, p["kv"]["w"], p["kv"].get("b"))
     k, v = jnp.split(kv, 2, axis=-1)
-    o = attention(
+    attn_fn = flash_attention_full if blockwise else attention
+    o = attn_fn(
         _split_heads(q, num_heads), _split_heads(k, num_heads), _split_heads(v, num_heads),
         dual_sqrt_scale=dual_sqrt_scale,
     )

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from meshanything_tpu.config import NRDConfig
 from meshanything_tpu.models.layers import (
-    attention,
+    flash_attention_full,
     init_linear,
     init_ln,
     layer_norm,
@@ -61,13 +61,18 @@ def init_nrd_params(key, cfg: NRDConfig, dtype=jnp.float32) -> dict:
 def bert_layer_apply(x: jax.Array, p: dict, *, num_heads: int, ln_eps: float) -> jax.Array:
     """One HF BERT post-LN encoder layer (bidirectional, no mask: the
     reference passes no attention mask to its BERT either —
-    meshanything.py:62-64 — masked faces are zeroed instead)."""
+    meshanything.py:62-64 — masked faces are zeroed instead).
+
+    Attention is blockwise (flash_attention_full): the dense 1057^2 f32
+    score matrix is ~53 MB per batch row per layer at full scale — the
+    detokenizer's share of the batch-scaled transients that crashed the
+    worker at int4 B=32 (PERF.md r3)."""
     b, n, d = x.shape
     h = num_heads
     hd = d // h
     qkv = linear(x, p["qkv"]["w"], p["qkv"]["b"])
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    o = attention(
+    o = flash_attention_full(
         q.reshape(b, n, h, hd), k.reshape(b, n, h, hd), v.reshape(b, n, h, hd)
     ).reshape(b, n, d)
     x = layer_norm(x + linear(o, p["attn_out"]["w"], p["attn_out"]["b"]),

@@ -100,9 +100,12 @@ def encode_latents(params: dict, cfg: PerceiverConfig, pc_normal: jax.Array) -> 
 
     bs = pc.shape[0]
     query = jnp.broadcast_to(params["query"].astype(data.dtype), (bs, *params["query"].shape))
+    # blockwise: the 257x4096 score matrix is the encoder's dominant
+    # batch-scaled transient (~50 MB f32 per batch row at full scale) —
+    # flash_attention_full keeps one (128, 512) tile per head instead
     x = cross_attention_block(
         query, data, params["cross_attn"], num_heads=cfg.heads,
-        dual_sqrt_scale=True, ln_eps=cfg.ln_eps,
+        dual_sqrt_scale=True, ln_eps=cfg.ln_eps, blockwise=True,
     )
 
     def layer(h, p):
@@ -159,9 +162,11 @@ def query_geometry(params: dict, cfg: PerceiverConfig, queries: jax.Array, laten
     g = params["geo_decoder"]
     q = fourier_embed(queries, cfg.num_freqs, cfg.include_pi)
     q = linear(q, g["query_proj"]["w"], g["query_proj"]["b"])
+    # blockwise: recon queries arrive in 10k+-point grid chunks; dense
+    # scores would be (P, 257) x heads x f32 per row
     x = cross_attention_block(
         q, latents, g["cross"], num_heads=cfg.heads,
-        dual_sqrt_scale=True, ln_eps=cfg.ln_eps,
+        dual_sqrt_scale=True, ln_eps=cfg.ln_eps, blockwise=True,
     )
     x = layer_norm(x, g["ln_post"]["scale"], g["ln_post"]["bias"], cfg.ln_eps)
     return linear(x, g["output_proj"]["w"], g["output_proj"]["b"])[..., 0]

@@ -46,14 +46,19 @@ def param_tree_bytes(params) -> int:
 
 
 def check_memory_budget(cfg: MeshAnythingConfig, batch: int, bucket: int = 512,
-                        attn: str = "auto", limit_bytes: int = 11 * 1024**3,
+                        attn: str = "auto", limit_bytes: int = 9 * 1024**3,
                         param_bytes: Optional[int] = None,
                         extra_tokens: int = 0) -> None:
     """Refuse configurations that would OOM-crash the TPU worker (an HBM
     overrun on this platform kills the worker for ~10 min rather than
-    raising). Empirical v5e envelope: int8 B=16 / bf16 B=8 run; int8
-    B=24 and B=32 both crash (PERF.md), so the default limit sits just
-    above the largest measured-good footprint.
+    raising). The limit is calibrated to the measured v5e envelope
+    (PERF.md r3): every config estimating <= ~9.2 GB ran (bf16 B=8,
+    int8 B=16, int4 B=28), every config estimating >= ~10.2 GB crashed
+    the worker (int8 B=24/32; int4 B=32 — twice, with dense AND
+    blockwise encode/detok, so the crash is not the f32 score
+    transients; most plausibly the KV cache is double-buffered somewhere
+    in the prefill->decode handoff, which doubles its 6 GB at those
+    shapes).
 
     param_bytes: measured param-tree size (param_tree_bytes); defaults
     to the 350M-model bf16 slab if not supplied."""
@@ -61,18 +66,19 @@ def check_memory_budget(cfg: MeshAnythingConfig, batch: int, bucket: int = 512,
     int4 = attn == "pallas_int4"
     kv = estimate_kv_bytes(cfg, batch, bucket, int8, extra_tokens, int4=int4)
     weights = int(350e6 * 2) if param_bytes is None else param_bytes
-    # Batch-scaled activation transients: the encoder's f32 cross-attn
-    # scores (heads x 257 x 4096) and the detokenizer's dense
-    # bidirectional scores (heads x 1057^2) materialize ~100 MB per
-    # batch row at full scale, outside the flash-decode path. Measured:
-    # int4 B=32 crashed the worker at the SAME kv bytes as the
-    # measured-OK int8 B=16 — KV bytes alone understate the footprint
-    # (PERF.md r3). x1.25 covers the smaller per-layer residuals.
+    # Batch-scaled activation transients. History: the encoder's f32
+    # cross-attn scores (heads x 257 x 4096) and the detokenizer's dense
+    # 1057^2 bidirectional scores were ~100 MB/row — enough that int4
+    # B=32 crashed the worker at the SAME kv bytes as the measured-OK
+    # int8 B=16 (PERF.md r3). Both sites are now blockwise
+    # (flash_attention_full): no N^2 score matrix exists, and the
+    # remaining per-row transients are bf16 hidden-state tensors
+    # (~8 live copies of (num_points, width) in encode and
+    # (1057, hidden) in detok — ~63 MB/row at full scale).
     p, n = cfg.perceiver, cfg.nrd
     ntok = n.cond_length + cfg.n_max_triangles
-    act_row = 4 * (p.heads * p.total_latents * p.num_points
-                   + n.num_heads * ntok * ntok)
-    act = batch * act_row * 5 // 4
+    act_row = 16 * (p.num_points * p.width + ntok * n.hidden_size)
+    act = batch * act_row
     est = kv + weights + (kv // 4) + act  # workspace headroom
     if est > limit_bytes:
         raise ValueError(

@@ -18,6 +18,7 @@ def test_budget_accepts_known_good_configs():
     check_memory_budget(cfg, 8)                        # bf16 B=8: measured OK
     check_memory_budget(cfg, 16, attn="pallas_int8")   # int8 B=16: measured OK
     check_memory_budget(cfg, 16, attn="pallas_int4")   # int4 B=16: measured OK
+    check_memory_budget(cfg, 28, attn="pallas_int4")   # int4 B=28: measured OK
 
 
 def test_budget_rejects_worker_killers():
@@ -26,9 +27,11 @@ def test_budget_rejects_worker_killers():
         check_memory_budget(cfg, 32, attn="pallas_int8")  # crashed the worker
     with pytest.raises(ValueError, match="exceeds"):
         check_memory_budget(cfg, 16)                      # bf16 B=16: 12 GB cache
-    # int4 B=32 has the SAME kv bytes as the measured-OK int8 B=16 but
-    # crashed the worker anyway (PERF.md r3): batch-scaled f32 attention
-    # transients in encode/detok must be part of the model
+    # int4 B=32 crashed the worker TWICE — with dense and with blockwise
+    # encode/detok — despite having the same kv bytes as the measured-OK
+    # int8 B=16; the limit is calibrated between the largest measured-OK
+    # estimate (int8 B=16 / int4 B=28, ~9.2 GB) and the smallest
+    # measured-crash estimate (int4 B=32, ~10.2 GB), PERF.md r3
     with pytest.raises(ValueError, match="exceeds"):
         check_memory_budget(cfg, 32, attn="pallas_int4")
 

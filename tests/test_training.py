@@ -140,6 +140,30 @@ def test_flash_attention_causal_grads_match(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5)
 
 
+def test_flash_attention_full_matches_dense(rng):
+    """flash_attention_full (the non-causal blockwise path used by the
+    perceiver point cross-attention and every NRD layer) must match the
+    dense formulation, including non-block-multiple and cross
+    (len q != len k) shapes where padded keys must be masked exactly."""
+    from meshanything_tpu.models.layers import attention, flash_attention_full
+
+    b, h, d = 2, 3, 8
+    for nq, nk, bq, bk, dual in [
+        (24, 24, 8, 8, False),      # aligned self
+        (23, 41, 8, 16, False),     # padding in both q and k
+        (17, 64, 32, 16, True),     # dual-sqrt (Michelangelo) scaling
+        (5, 3, 128, 512, False),    # blocks larger than the sequence
+    ]:
+        q = jnp.asarray(rng.normal(size=(b, nq, h, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, nk, h, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, nk, h, d)).astype(np.float32))
+        dense = attention(q, k, v, dual_sqrt_scale=dual)
+        flash = flash_attention_full(q, k, v, dual_sqrt_scale=dual,
+                                     block_q=bq, block_k=bk)
+        assert flash.shape == dense.shape
+        np.testing.assert_allclose(np.asarray(flash), np.asarray(dense), atol=2e-5)
+
+
 def test_forward_full_blockwise_remat_matches_dense(rng):
     """forward_full(remat, block_q) must be numerically identical to the
     dense pass, including internal padding to a block multiple."""
