@@ -160,6 +160,20 @@ def _opt_layer_prefill(cfg: ShapeOPTConfig, *, block_q: int = 0, with_kv: bool =
     return body
 
 
+def _assemble_cache(ks: jax.Array, vs: jax.Array, kv_len: int) -> jax.Array:
+    """(L, B, C, HD) k/v prefix rows -> (2, L, B, kv_len, HD) cache.
+
+    One zero-init buffer plus an in-place dynamic_update_slice of the
+    compact prefix. The obvious pad-then-stack formulation keeps BOTH
+    full-length padded halves alive as the stack's operands — measured
+    22.5 GB peak for the 11.25 GB bf16 B=16 cache (AOT memory analysis,
+    PERF.md r3), which is what made exact bf16 B=16 a worker-killer."""
+    lcnt, bsz, c, hd = ks.shape
+    small = jnp.stack([ks, vs])                      # (2, L, B, C, HD)
+    cache = jnp.zeros((2, lcnt, bsz, kv_len, hd), ks.dtype)
+    return jax.lax.dynamic_update_slice(cache, small, (0, 0, 0, 0, 0))
+
+
 def prefill(
     params: dict,
     cfg: ShapeOPTConfig,
@@ -185,11 +199,8 @@ def prefill(
     lcnt, bsz = ks.shape[0], ks.shape[1]
     ks = ks.reshape(lcnt, bsz, c, cfg.hidden_size)
     vs = vs.reshape(lcnt, bsz, c, cfg.hidden_size)
-    pad = kv_len - c
-    ks = jnp.pad(ks, ((0, 0), (0, 0), (0, pad), (0, 0)))
-    vs = jnp.pad(vs, ((0, 0), (0, 0), (0, pad), (0, 0)))
     logits = linear(x[:, -1], params["lm_head"]["w"])
-    return logits.astype(jnp.float32), jnp.stack([ks, vs])
+    return logits.astype(jnp.float32), _assemble_cache(ks, vs, kv_len)
 
 
 def prefill_with_prompt(
@@ -246,10 +257,8 @@ def prefill_with_prompt(
     lcnt = ks.shape[0]
     ks = ks.reshape(lcnt, b, n + pad, cfg.hidden_size)[:, :, :n]
     vs = vs.reshape(lcnt, b, n + pad, cfg.hidden_size)[:, :, :n]
-    ks = jnp.pad(ks, ((0, 0), (0, 0), (0, kv_len - n), (0, 0)))
-    vs = jnp.pad(vs, ((0, 0), (0, 0), (0, kv_len - n), (0, 0)))
     logits = linear(x[:, n - 1], params["lm_head"]["w"])
-    return logits.astype(jnp.float32), jnp.stack([ks, vs])
+    return logits.astype(jnp.float32), _assemble_cache(ks, vs, kv_len)
 
 
 def forward_full(

@@ -71,10 +71,20 @@ def quantize_rows_int4(rows: jax.Array) -> Tuple[jax.Array, jax.Array]:
     assert d % 2 == 0, d
     amax = jnp.max(jnp.abs(rows.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 7.0
-    q = jnp.clip(jnp.round(rows.astype(jnp.float32) / scale), -7, 7).astype(jnp.int32)
-    lo, hi = q[..., : d // 2], q[..., d // 2:]
+
+    # Quantize each half independently in int8: a single full-width
+    # int32 code tensor would be consumed by both nibbles, and XLA
+    # materializes such shared subexpressions — at the prompt-prefill
+    # shape that was a (2, L, B, S, D) s32 intermediate, 32 GB at a
+    # 6.4k-token B=24 prompt (measured: the AOT compiler rejected the
+    # allocation). Two independent element-wise chains fuse straight
+    # into the packed output.
+    def q4(x):
+        return jnp.clip(jnp.round(x / scale), -7, 7).astype(jnp.int8)
+
+    lo, hi = q4(rows[..., : d // 2].astype(jnp.float32)), q4(rows[..., d // 2:].astype(jnp.float32))
     packed = jnp.bitwise_or(jnp.left_shift(hi, 4), jnp.bitwise_and(lo, 15))
-    return packed.astype(jnp.int8), scale
+    return packed, scale
 
 
 def unpack_int4(packed: jax.Array) -> jax.Array:

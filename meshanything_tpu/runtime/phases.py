@@ -46,47 +46,52 @@ def param_tree_bytes(params) -> int:
 
 
 def check_memory_budget(cfg: MeshAnythingConfig, batch: int, bucket: int = 512,
-                        attn: str = "auto", limit_bytes: int = 9 * 1024**3,
+                        attn: str = "auto", limit_bytes: int = int(12.8e9),
                         param_bytes: Optional[int] = None,
                         extra_tokens: int = 0) -> None:
     """Refuse configurations that would OOM-crash the TPU worker (an HBM
     overrun on this platform kills the worker for ~10 min rather than
-    raising). The limit is calibrated to the measured v5e envelope
-    (PERF.md r3): every config estimating <= ~9.2 GB ran (bf16 B=8,
-    int8 B=16, int4 B=28), every config estimating >= ~10.2 GB crashed
-    the worker (int8 B=24/32; int4 B=32 — twice, with dense AND
-    blockwise encode/detok, so the crash is not the f32 score
-    transients; most plausibly the KV cache is double-buffered somewhere
-    in the prefill->decode handoff, which doubles its 6 GB at those
-    shapes).
+    raising).
+
+    Model (validated against AOT memory analysis + on-chip runs,
+    PERF.md r3): program footprint = ONE cache copy (the
+    pad-then-stack double buffering in prefill is fixed —
+    shape_opt._assemble_cache) + params + batch-scaled bf16
+    hidden-state transients in encode/detok (the f32 N^2 score
+    matrices are gone — flash_attention_full) + ~1.5 GB of decode
+    transients (logits buffers, quantize intermediates). The effective
+    runtime limit is 12.8-13.1 GB: bf16 B=8 at a measured 12.76 GB
+    total ran; bf16 B=16 at a measured 13.19 GB total crashed the
+    worker (16 GiB physical minus ~4 GB runtime reservation).
 
     param_bytes: measured param-tree size (param_tree_bytes); defaults
     to the 350M-model bf16 slab if not supplied."""
     int8 = attn == "pallas_int8"
     int4 = attn == "pallas_int4"
+    if int4 and batch >= 29:
+        # NOT a capacity limit: int4 B=32 fits trivially (7.0 GB
+        # measured) yet crashed the worker twice; B=28 runs. Until the
+        # fault is isolated, refuse the measured-bad region explicitly.
+        raise ValueError(
+            f"int4 KV at batch={batch} exceeds the measured-stable envelope: "
+            "B=32 crashes the TPU worker despite fitting in HBM (suspected "
+            "runtime/kernel fault, PERF.md r3); B=28 is the validated "
+            "maximum. Use batch<=28 or shard over more chips.")
     kv = estimate_kv_bytes(cfg, batch, bucket, int8, extra_tokens, int4=int4)
     weights = int(350e6 * 2) if param_bytes is None else param_bytes
-    # Batch-scaled activation transients. History: the encoder's f32
-    # cross-attn scores (heads x 257 x 4096) and the detokenizer's dense
-    # 1057^2 bidirectional scores were ~100 MB/row — enough that int4
-    # B=32 crashed the worker at the SAME kv bytes as the measured-OK
-    # int8 B=16 (PERF.md r3). Both sites are now blockwise
-    # (flash_attention_full): no N^2 score matrix exists, and the
-    # remaining per-row transients are bf16 hidden-state tensors
-    # (~8 live copies of (num_points, width) in encode and
-    # (1057, hidden) in detok — ~63 MB/row at full scale).
     p, n = cfg.perceiver, cfg.nrd
     ntok = n.cond_length + cfg.n_max_triangles
     act_row = 16 * (p.num_points * p.width + ntok * n.hidden_size)
     act = batch * act_row
-    est = kv + weights + (kv // 4) + act  # workspace headroom
+    overhead = min(int(1.5e9), max(weights, 1) * 4)  # scaled down for test configs
+    est = kv + weights + act + overhead
     if est > limit_bytes:
         raise ValueError(
             f"estimated device footprint {est / 1e9:.1f} GB exceeds the "
-            f"{limit_bytes / 1e9:.0f} GB budget for batch={batch} "
+            f"{limit_bytes / 1e9:.1f} GB budget for batch={batch} "
             f"(kv cache {kv / 1e9:.1f} GB). Reduce --batchsize_per_gpu, "
-            "use --attn pallas_int8 (halves the cache), or shard the "
-            "batch over more chips (parallel/mesh.py)."
+            "use --attn pallas_int8/pallas_int4 (smaller cache), or shard "
+            "the batch over more chips (parallel/mesh.py)."
         )
 
 
