@@ -95,11 +95,12 @@ def main():
     emit("p50_mesh_latency_800f", per1)
     headline = ("p50_mesh_latency_800f", per1)
 
-    # B=12 is the largest exact-bf16 batch inside the measured HBM
-    # envelope (12.0 GB est; B=16's 13.2 GB crashes the worker —
-    # PERF.md r3); it amortizes the per-step weight read further than
-    # B=8 (measured 4.87 vs 5.18 s/mesh).
-    for bb, metric in ((12, "mesh_latency_800f_b12"), (8, "mesh_latency_800f_b8")):
+    # B=16 is the largest exact-bf16 batch that fits HBM (13.2 GB
+    # measured); its 75 s decode runs as 5 segments under the axon
+    # worker's ~60 s per-program watchdog (PhaseRunner segmented decode,
+    # PERF.md r3). Measured 4.695 s/mesh vs 4.87 (B=12) / 5.18 (B=8).
+    for bb, metric in ((16, "mesh_latency_800f_b16"),
+                       (12, "mesh_latency_800f_b12"), (8, "mesh_latency_800f_b8")):
         try:
             pcb = jnp.asarray(rng.normal(
                 size=(bb, cfg.perceiver.num_points, 6)).astype(np.float32) * 0.5)
@@ -120,7 +121,7 @@ def main():
 
         bw = max(measure_matmul_bw(), measure_kernel_bw())
         log(f"measured HBM BW: {bw:.0f} GB/s")
-        floor_batch = {"mesh_latency_800f_b12": 12,
+        floor_batch = {"mesh_latency_800f_b16": 16, "mesh_latency_800f_b12": 12,
                        "mesh_latency_800f_b8": 8}.get(headline[0], 1)
         floor = exact_floor_seconds(cfg, bw, batch=floor_batch)
         emit(f"exact_bf16_floor_b{floor_batch}", floor)
@@ -304,13 +305,13 @@ def main():
     # traffic that dominates small-batch latency.
     # int4 KV packs two codes per byte (ops/kvcache.py), quartering the
     # decode's dominant HBM stream; trained-350M token agreement is
-    # 1.0000 for both int4 and int4+lookahead (PERF.md r3). B=28 is the
-    # largest batch inside the measured HBM envelope (B=32 crashed the
-    # worker; check_memory_budget rejects it).
+    # 1.0000 for both int4 and int4+lookahead (PERF.md r3). Plain B=32
+    # runs via the segmented decode (5 x ~13 s programs under the ~60 s
+    # watchdog); lookahead stays within one program at B=24.
     for attn, batch, la, wq, metric, label in (
         ("pallas", 8, 8, False, "mesh_latency_800f_la8_b8", "bf16+lookahead W=8 B=8"),
         ("pallas_int8", 16, 8, False, "mesh_latency_800f_int8_la8_b16", "int8+lookahead W=8 B=16"),
-        ("pallas_int4", 28, 0, False, "mesh_latency_800f_int4_b28", "int4 KV B=28"),
+        ("pallas_int4", 32, 0, False, "mesh_latency_800f_int4_b32", "int4 KV B=32"),
         ("pallas_int4", 24, 8, False, "mesh_latency_800f_int4_la8_b24", "int4+lookahead W=8 B=24"),
         ("pallas_int8", 1, 0, True, "mesh_latency_800f_w8a8_int8_b1", "w8a8+int8KV B=1"),
         # best single-mesh latency (w8a8 at large batch/lookahead adds

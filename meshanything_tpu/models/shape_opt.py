@@ -488,6 +488,139 @@ def _decode_step(params, cfg: ShapeOPTConfig, state: DecodeState, kv_slice_len: 
     return DecodeState(state.step + 1, tokens, kv, new_done, next_token, key)
 
 
+def init_decode_state(
+    params: dict,
+    cfg: ShapeOPTConfig,
+    cond_embeds: jax.Array,
+    *,
+    max_new_tokens: int,
+    key: Optional[jax.Array] = None,
+    sampling: bool = False,
+    top_k: int = 50,
+    top_p: float = 0.95,
+    temperature: float = 1.0,
+    bucket: int = 512,
+    attn: str = "pallas",
+    prompt_ids: Optional[jax.Array] = None,
+) -> DecodeState:
+    """Prefill + first token -> the DecodeState the decode loop carries.
+
+    Split out of ``generate`` so callers can run the loop in bounded
+    segments (``decode_segment(until=...)``): the axon TPU worker kills
+    any single program execution running past ~60 s (PERF.md r3 — the
+    measured envelope first misattributed to HBM), so full-length
+    decodes at large batch must be several calls of one compiled
+    segment program with the state donated between calls
+    (runtime/phases.py)."""
+    b, c, _ = cond_embeds.shape
+    p_len = 0 if prompt_ids is None else prompt_ids.shape[1]
+    if p_len >= max_new_tokens:
+        raise ValueError(f"prompt length {p_len} must be < max_new_tokens={max_new_tokens}")
+    # pad the cache to a chunk multiple: the flash-decode kernel DMAs
+    # whole chunks, so the last chunk must not run past the buffer
+    s_max = -(-(c + max_new_tokens) // bucket) * bucket
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    def _prefill(kv_len):
+        if prompt_ids is None:
+            return prefill(params, cfg, cond_embeds, kv_len)
+        return prefill_with_prompt(params, cfg, cond_embeds,
+                                   jnp.asarray(prompt_ids, jnp.int32), kv_len)
+
+    if attn in ("pallas_int8", "pallas_int4"):
+        # quantize the compact prefix-length cache, THEN pad to
+        # s_max — padding the bf16 cache first would materialize the
+        # full-length bf16 buffer (12 GB at B=16) before quantization
+        from meshanything_tpu.ops.kvcache import quantize_rows, quantize_rows_int4
+
+        qrows = quantize_rows if attn == "pallas_int8" else quantize_rows_int4
+        plen = c + p_len
+        logits0, kv_c = _prefill(plen)
+        values, row_scale = qrows(kv_c)                     # (..., plen, 1) scales
+        scales = jnp.transpose(row_scale, (0, 1, 2, 4, 3))  # (2, L, B, 1, plen)
+        values = jnp.pad(values, ((0, 0), (0, 0), (0, 0), (0, s_max - plen), (0, 0)))
+        scales = jnp.pad(scales, ((0, 0), (0, 0), (0, 0), (0, 0), (0, s_max - plen)),
+                         constant_values=1.0)
+        kv = (values, scales)
+    else:
+        logits0, kv = _prefill(s_max)
+    key, subkey = jax.random.split(key)
+    first = sample_token(
+        subkey, logits0, sampling=sampling, top_k=top_k, top_p=top_p, temperature=temperature
+    )
+
+    tokens = jnp.full((b, max_new_tokens), cfg.eos_token_id, jnp.int32)
+    if p_len:
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, jnp.asarray(prompt_ids, jnp.int32), (0, 0))
+    tokens = tokens.at[:, p_len].set(first)
+    return DecodeState(
+        step=jnp.asarray(p_len + 1, jnp.int32),
+        tokens=tokens,
+        kv=kv,
+        done=first == cfg.eos_token_id,
+        last_token=first,
+        key=key,
+    )
+
+
+def decode_segment(
+    params: dict,
+    cfg: ShapeOPTConfig,
+    state: DecodeState,
+    *,
+    s_max: int,
+    max_new_tokens: int,
+    until: Optional[jax.Array] = None,
+    early_exit: bool = True,
+    attn: str = "pallas",
+    bucket: int = 512,
+    interpret: bool = False,
+    unroll: int = 1,
+    wq: bool = False,
+    sampling: bool = False,
+    top_k: int = 50,
+    top_p: float = 0.95,
+    temperature: float = 1.0,
+) -> DecodeState:
+    """Run the pallas decode while_loop until ``max_new_tokens`` — or,
+    when ``until`` (a traced scalar) is given, at most until that step.
+
+    One compiled program serves every segment of a request: the caller
+    loops ``state = jit(decode_segment)(state, until=state.step + K)``
+    with the state donated, keeping each device execution under the
+    axon worker's ~60 s per-program watchdog. A segment whose rows are
+    all done (or whose ``until`` has passed) is a no-op returning
+    immediately, so callers can dispatch a fixed segment count
+    asynchronously with no host round-trips between them."""
+    step_kw = dict(sampling=sampling, top_k=top_k, top_p=top_p, temperature=temperature)
+
+    # int8 weights: quantize the stacked layer matrices once per
+    # segment (one 0.6 GB read, amortized over the segment's steps);
+    # prefill ran on the bf16 originals.
+    dec_params = params
+    if wq:
+        from meshanything_tpu.ops.wquant import quantize_opt_layers
+
+        dec_params = dict(params, layers=quantize_opt_layers(params["layers"]))
+
+    def cond_fn(st):
+        live = st.step < max_new_tokens
+        if until is not None:
+            live = live & (st.step < until)
+        if early_exit:
+            live = live & ~jnp.all(st.done)
+        return live
+
+    def body_fn(st):
+        return _decode_step(dec_params, cfg, st, s_max, attn=attn,
+                            chunk=bucket, interpret=interpret,
+                            unroll=unroll, wq=wq, **step_kw)
+
+    return jax.lax.while_loop(cond_fn, body_fn, state)
+
+
 def generate(
     params: dict,
     cfg: ShapeOPTConfig,
@@ -549,85 +682,29 @@ def generate(
         raise ValueError("wq (int8 weights) does not compose with the megakernel path")
     interpret = (attn.startswith("pallas") or attn == "megakernel") \
         and jax.default_backend() != "tpu"
-    b, c, _ = cond_embeds.shape
-    p_len = 0 if prompt_ids is None else prompt_ids.shape[1]
-    if p_len >= max_new_tokens:
-        raise ValueError(f"prompt length {p_len} must be < max_new_tokens={max_new_tokens}")
-    # pad the cache to a chunk multiple: the flash-decode kernel DMAs
-    # whole chunks, so the last chunk must not run past the buffer
+    c = cond_embeds.shape[1]
     s_max = -(-(c + max_new_tokens) // bucket) * bucket
-    if key is None:
-        key = jax.random.PRNGKey(0)
-
-    def _prefill(kv_len):
-        if prompt_ids is None:
-            return prefill(params, cfg, cond_embeds, kv_len)
-        return prefill_with_prompt(params, cfg, cond_embeds,
-                                   jnp.asarray(prompt_ids, jnp.int32), kv_len)
-
-    if attn in ("pallas_int8", "pallas_int4"):
-        # quantize the compact prefix-length cache, THEN pad to
-        # s_max — padding the bf16 cache first would materialize the
-        # full-length bf16 buffer (12 GB at B=16) before quantization
-        from meshanything_tpu.ops.kvcache import quantize_rows, quantize_rows_int4
-
-        qrows = quantize_rows if attn == "pallas_int8" else quantize_rows_int4
-        plen = c + p_len
-        logits0, kv_c = _prefill(plen)
-        values, row_scale = qrows(kv_c)                     # (..., plen, 1) scales
-        scales = jnp.transpose(row_scale, (0, 1, 2, 4, 3))  # (2, L, B, 1, plen)
-        values = jnp.pad(values, ((0, 0), (0, 0), (0, 0), (0, s_max - plen), (0, 0)))
-        scales = jnp.pad(scales, ((0, 0), (0, 0), (0, 0), (0, 0), (0, s_max - plen)),
-                         constant_values=1.0)
-        kv = (values, scales)
-    else:
-        logits0, kv = _prefill(s_max)
-    key, subkey = jax.random.split(key)
-    first = sample_token(
-        subkey, logits0, sampling=sampling, top_k=top_k, top_p=top_p, temperature=temperature
-    )
-
-    tokens = jnp.full((b, max_new_tokens), cfg.eos_token_id, jnp.int32)
-    if p_len:
-        tokens = jax.lax.dynamic_update_slice(
-            tokens, jnp.asarray(prompt_ids, jnp.int32), (0, 0))
-    tokens = tokens.at[:, p_len].set(first)
-    state = DecodeState(
-        step=jnp.asarray(p_len + 1, jnp.int32),
-        tokens=tokens,
-        kv=kv,
-        done=first == cfg.eos_token_id,
-        last_token=first,
-        key=key,
-    )
+    state = init_decode_state(
+        params, cfg, cond_embeds, max_new_tokens=max_new_tokens, key=key,
+        sampling=sampling, top_k=top_k, top_p=top_p, temperature=temperature,
+        bucket=bucket, attn=attn, prompt_ids=prompt_ids)
 
     step_kw = dict(sampling=sampling, top_k=top_k, top_p=top_p, temperature=temperature)
 
-    # int8 weights: quantize the stacked layer matrices once per call
-    # (one 0.6 GB read, amortized over the ~7.2k-step decode); prefill
-    # above already ran on the bf16 originals.
+    if attn.startswith("pallas") or attn == "megakernel":
+        state = decode_segment(
+            params, cfg, state, s_max=s_max, max_new_tokens=max_new_tokens,
+            early_exit=early_exit, attn=attn, bucket=bucket,
+            interpret=interpret, unroll=unroll, wq=wq, **step_kw)
+        return state.tokens
+
+    # XLA path: static bucket schedule over absolute kv length
+    p_len = 0 if prompt_ids is None else prompt_ids.shape[1]
     dec_params = params
     if wq:
         from meshanything_tpu.ops.wquant import quantize_opt_layers
 
         dec_params = dict(params, layers=quantize_opt_layers(params["layers"]))
-
-    if attn.startswith("pallas") or attn == "megakernel":
-        def cond_fn(st):
-            live = st.step < max_new_tokens
-            if early_exit:
-                live = live & ~jnp.all(st.done)
-            return live
-
-        def body_fn(st):
-            return _decode_step(dec_params, cfg, st, s_max, attn=attn,
-                                chunk=bucket, interpret=interpret,
-                                unroll=unroll, wq=wq, **step_kw)
-
-        state = jax.lax.while_loop(cond_fn, body_fn, state)
-        return state.tokens
-
-    # XLA path: static bucket schedule over absolute kv length
     starts = list(range(0, s_max, bucket))
     for bstart in starts:
         bend = min(bstart + bucket, s_max)

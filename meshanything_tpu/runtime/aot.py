@@ -131,12 +131,14 @@ class AotFunction:
     def __init__(self, fn: Callable, label: str, *,
                  store: Optional[AotStore] = None,
                  static_argnames: Sequence[str] = (),
+                 donate_argnums: Sequence[int] = (),
                  context: str = ""):
         self._label = label
         self._store = store
         self._static_argnames = tuple(static_argnames)
         self._context = context
-        self._jit = jax.jit(fn, static_argnames=self._static_argnames)
+        self._jit = jax.jit(fn, static_argnames=self._static_argnames,
+                            donate_argnums=tuple(donate_argnums))
         self._mem: dict = {}
 
     def _digest(self, args, statics) -> str:

@@ -46,45 +46,37 @@ def param_tree_bytes(params) -> int:
 
 
 def check_memory_budget(cfg: MeshAnythingConfig, batch: int, bucket: int = 512,
-                        attn: str = "auto", limit_bytes: int = int(12.8e9),
+                        attn: str = "auto", limit_bytes: int = int(15.0e9),
                         param_bytes: Optional[int] = None,
                         extra_tokens: int = 0) -> None:
     """Refuse configurations that would OOM-crash the TPU worker (an HBM
     overrun on this platform kills the worker for ~10 min rather than
     raising).
 
-    Model (validated against AOT memory analysis + on-chip runs,
-    PERF.md r3): program footprint = ONE cache copy (the
-    pad-then-stack double buffering in prefill is fixed —
-    shape_opt._assemble_cache) + params + batch-scaled bf16
-    hidden-state transients in encode/detok (the f32 N^2 score
-    matrices are gone — flash_attention_full) + ~1.5 GB of decode
-    transients (logits buffers, quantize intermediates). The effective
-    runtime limit is 12.8-13.1 GB: bf16 B=8 at a measured 12.76 GB
-    total ran; bf16 B=16 at a measured 13.19 GB total crashed the
-    worker (16 GiB physical minus ~4 GB runtime reservation).
+    Model (validated against chipless AOT memory analysis + on-chip
+    runs, PERF.md r3): the peak program is either the decode (ONE cache
+    copy — the pad-then-stack double buffering is fixed,
+    shape_opt._assemble_cache — plus params and ~0.5 GB of loop
+    transients) or encode/detok (params plus batch-scaled bf16
+    hidden-state transients; the f32 N^2 score matrices are gone —
+    flash_attention_full). Physical HBM is 16 GiB; the limit keeps
+    ~2 GB of headroom for the runtime. NOTE: what r1-r3 first read as a
+    ~13 GB memory envelope was actually the worker's ~60 s
+    per-program-execution watchdog — now handled by segmenting long
+    decodes (PhaseRunner dispatches decode_segment repeatedly), so
+    capacity is the only thing this guard models.
 
     param_bytes: measured param-tree size (param_tree_bytes); defaults
     to the 350M-model bf16 slab if not supplied."""
     int8 = attn == "pallas_int8"
     int4 = attn == "pallas_int4"
-    if int4 and batch >= 29:
-        # NOT a capacity limit: int4 B=32 fits trivially (7.0 GB
-        # measured) yet crashed the worker twice; B=28 runs. Until the
-        # fault is isolated, refuse the measured-bad region explicitly.
-        raise ValueError(
-            f"int4 KV at batch={batch} exceeds the measured-stable envelope: "
-            "B=32 crashes the TPU worker despite fitting in HBM (suspected "
-            "runtime/kernel fault, PERF.md r3); B=28 is the validated "
-            "maximum. Use batch<=28 or shard over more chips.")
     kv = estimate_kv_bytes(cfg, batch, bucket, int8, extra_tokens, int4=int4)
     weights = int(350e6 * 2) if param_bytes is None else param_bytes
     p, n = cfg.perceiver, cfg.nrd
     ntok = n.cond_length + cfg.n_max_triangles
     act_row = 16 * (p.num_points * p.width + ntok * n.hidden_size)
-    act = batch * act_row
-    overhead = min(int(1.5e9), max(weights, 1) * 4)  # scaled down for test configs
-    est = kv + weights + act + overhead
+    overhead = min(int(0.5e9), max(weights, 1) * 2)  # scaled down for test configs
+    est = weights + max(kv + overhead, batch * act_row)
     if est > limit_bytes:
         raise ValueError(
             f"estimated device footprint {est / 1e9:.1f} GB exceeds the "
@@ -170,9 +162,41 @@ class PhaseRunner:
                 params["nrd"], cfg.nrd, ids, codes.astype(dtype), pf
             )
 
+        # Segmented decode (plain-pallas path): the axon worker kills any
+        # single program execution past ~60 s (PERF.md r3), which full-
+        # length decodes exceed at large batch (bf16 B=16 ~73 s, int4
+        # B=32 ~64 s). One compiled segment program is dispatched
+        # ceil(gl/seg) times with the state donated between calls; a
+        # finished segment is a no-op, so the fixed schedule costs
+        # nothing and needs no host round-trips.
+        resolved = attn if attn != "auto" else (
+            "pallas" if jax.default_backend() == "tpu" else "xla")
+        interp = resolved.startswith("pallas") and jax.default_backend() != "tpu"
+        self._segmented = resolved.startswith("pallas") and lookahead == 0
+        gl = cfg.generate_length
+        seg = 1800  # worst measured step rate ~10 ms -> <=18 s/segment
+        self._seg_bounds = [min((i + 1) * seg, gl) for i in range(-(-gl // seg))]
+        s_max = -(-(cfg.cond_length + gl) // bucket) * bucket
+
+        def decode_init(params, cond, key, sampling):
+            return opt_mod.init_decode_state(
+                params["opt"], cfg.opt, cond, max_new_tokens=gl, key=key,
+                sampling=sampling, bucket=bucket, attn=resolved)
+
+        def decode_seg(params, state, until, sampling):
+            return opt_mod.decode_segment(
+                params["opt"], cfg.opt, state, s_max=s_max, max_new_tokens=gl,
+                until=until, early_exit=early_exit, attn=resolved,
+                bucket=bucket, interpret=interp, wq=wq, sampling=sampling)
+
         self._encode = AotFunction(encode, "encode", store=store, context=ctx)
         self._decode = AotFunction(decode, "decode", store=store, context=ctx,
                                    static_argnames=("sampling",))
+        self._decode_init = AotFunction(decode_init, "decode_init", store=store,
+                                        context=ctx, static_argnames=("sampling",))
+        self._decode_seg = AotFunction(decode_seg, "decode_seg", store=store,
+                                       context=ctx, static_argnames=("sampling",),
+                                       donate_argnums=(1,))
         self._decode_prompt = AotFunction(
             decode_prompt, "decode_prompt", store=store, context=ctx,
             static_argnames=("sampling",))
@@ -192,7 +216,15 @@ class PhaseRunner:
         key = jax.eval_shape(lambda: jax.random.PRNGKey(0))
         raw = sds((batch, cfg.generate_length), jnp.int32)
         self._encode.precompile(self.params, pc)
-        self._decode.precompile(self.params, cond, key, sampling=sampling)
+        if self._segmented:
+            state = jax.eval_shape(
+                lambda p, c, k: self._decode_init._jit(p, c, k, sampling=sampling),
+                self.params, cond, key)
+            self._decode_init.precompile(self.params, cond, key, sampling=sampling)
+            until = sds((), jnp.int32)
+            self._decode_seg.precompile(self.params, state, until, sampling=sampling)
+        else:
+            self._decode.precompile(self.params, cond, key, sampling=sampling)
         self._detok.precompile(self.params, raw, pf)
 
     def __call__(self, pc_normal: jax.Array, *, sampling: bool = False,
@@ -227,6 +259,13 @@ class PhaseRunner:
                 raw = self._decode_prompt(self.params, cond, key,
                                           jnp.asarray(prompt_ids, jnp.int32),
                                           sampling=sampling)
+            elif self._segmented:
+                state = self._decode_init(self.params, cond, key, sampling=sampling)
+                for until in self._seg_bounds:
+                    state = self._decode_seg(self.params, state,
+                                             jnp.asarray(until, jnp.int32),
+                                             sampling=sampling)
+                raw = state.tokens
             else:
                 raw = self._decode(self.params, cond, key, sampling=sampling)
             fence(raw)

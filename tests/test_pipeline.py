@@ -95,3 +95,30 @@ def test_pipeline_mesh_completion(pipe, cfg, tmp_path, rng):
     prompt = np.concatenate([[cfg.opt.bos_token_id], toks]).astype(np.int32)
     res = pipe.run(samples, str(tmp_path), prompt_tokens=prompt, export=False)
     assert len(res) == 1 and "error" not in res[0]
+
+
+def test_segmented_decode_matches_single_loop(cfg, rng):
+    """PhaseRunner's segmented decode (repeated decode_segment calls of
+    one compiled program, state donated between calls — the axon ~60 s
+    per-program watchdog workaround, PERF.md r3) must be token-identical
+    to the single-while_loop generate."""
+    import jax.numpy as jnp
+
+    from meshanything_tpu.models import shape_opt as opt_mod
+    from meshanything_tpu.runtime.phases import PhaseRunner
+
+    params = ma.init_meshanything_params(jax.random.PRNGKey(1), cfg)
+    runner = PhaseRunner(params, cfg, bucket=16, attn="pallas", early_exit=False)
+    assert runner._segmented
+    # force several tiny segments so the schedule actually splits
+    gl = cfg.generate_length
+    runner._seg_bounds = [min(s, gl) for s in (3, 6, 9, gl)]
+    pc = jnp.asarray(
+        rng.normal(size=(2, cfg.perceiver.num_points, 6)).astype(np.float32) * 0.3)
+    out = runner(pc)
+
+    pf, cond = runner._encode(params, pc)
+    ref = opt_mod.generate(
+        params["opt"], cfg.opt, cond, max_new_tokens=gl,
+        key=jax.random.PRNGKey(0), bucket=16, early_exit=False, attn="pallas")
+    np.testing.assert_array_equal(np.asarray(out.token_ids), np.asarray(ref))
