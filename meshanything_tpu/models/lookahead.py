@@ -312,7 +312,7 @@ def _window_step(params, cfg: ShapeOPTConfig, state: LookaheadState,
                           state.iters + 1, key)
 
 
-def generate_lookahead(
+def init_lookahead_state(
     params: dict,
     cfg: ShapeOPTConfig,
     cond_embeds: jax.Array,
@@ -321,45 +321,20 @@ def generate_lookahead(
     window: int = 8,
     bucket: int = 512,
     key: Optional[jax.Array] = None,
-    attn: str = "auto",
-    return_stats: bool = False,
-    wq: bool = False,
+    attn: str = "pallas",
     prompt_ids: Optional[jax.Array] = None,
     sampling: bool = False,
     top_k: int = 50,
     top_p: float = 0.95,
-):
-    """Greedy generation with lookahead. Token-identical to
-    ``generate(..., sampling=False)`` in exact arithmetic (bf16 caveat
-    in the module docstring). Returns (B, max_new_tokens) — or, with
-    return_stats, a (tokens, stats) pair where stats carries the window
-    forwards executed and the per-row emitted token counts, so callers
-    can compute the measured acceptance rate
-    (sum(emitted - 1) / iterations; the prefill emits the first token).
-
-    prompt_ids (B, P): continue from a token prefix (see
-    shape_opt.generate) — the prefix is prefilled in one causal pass
-    and echoed into the output; stats count only continuation tokens.
-
-    sampling=True: speculative top-k/top-p sampling (requires ``key``) —
-    each window's greedy continuations serve as the draft chain, and the
-    accept/residual rule of _speculative_accept preserves the exact
-    step-by-step sampling distribution (the reference's do_sample
-    surface, meshanything.py:153-162, at lookahead speed).
-    """
-    if attn == "auto":
-        attn = "pallas" if jax.default_backend() == "tpu" else "xla"
-    interpret = attn.startswith("pallas") and jax.default_backend() != "tpu"
+) -> "LookaheadState":
+    """Prefill + first token -> the LookaheadState the window loop
+    carries. Split out (mirroring shape_opt.init_decode_state) so
+    callers can run the loop in bounded segments under the axon
+    worker's ~60 s per-program watchdog (PERF.md r3)."""
     b, c, _ = cond_embeds.shape
     p_len = 0 if prompt_ids is None else prompt_ids.shape[1]
     if p_len >= max_new_tokens:
         raise ValueError(f"prompt length {p_len} must be < max_new_tokens={max_new_tokens}")
-    # int8 weights for the window forwards; prefill below stays bf16
-    dec_params = params
-    if wq:
-        from meshanything_tpu.ops.wquant import quantize_opt_layers
-
-        dec_params = dict(params, layers=quantize_opt_layers(params["layers"]))
     w = window
     s_max = -(-(c + max_new_tokens + w) // bucket) * bucket
 
@@ -403,7 +378,7 @@ def generate_lookahead(
         tokens = jax.lax.dynamic_update_slice(
             tokens, jnp.asarray(prompt_ids, jnp.int32), (0, 0))
     tokens = tokens.at[:, p_len].set(first)
-    state = LookaheadState(
+    return LookaheadState(
         steps=jnp.full((b,), p_len + 1, jnp.int32),
         tokens=tokens,
         kv=kv,
@@ -415,20 +390,110 @@ def generate_lookahead(
         key=key,
     )
 
-    if attn.startswith("pallas"):
-        # the kernel streams per-row live context — one loop, no buckets
-        def cond_fn(st):
-            live = (st.steps < max_new_tokens) & ~st.done
-            return jnp.any(live)
 
-        state = jax.lax.while_loop(
-            cond_fn,
-            lambda st: _window_step(dec_params, cfg, st, w, s_max, attn=attn,
-                                    chunk=bucket, interpret=interpret,
-                                    max_new_tokens=max_new_tokens, wq=wq,
-                                    sampling=sampling, top_k=top_k, top_p=top_p),
-            state,
-        )
+def lookahead_segment(
+    params: dict,
+    cfg: ShapeOPTConfig,
+    state: "LookaheadState",
+    *,
+    s_max: int,
+    max_new_tokens: int,
+    window: int,
+    attn: str,
+    bucket: int = 512,
+    interpret: bool = False,
+    wq: bool = False,
+    sampling: bool = False,
+    top_k: int = 50,
+    top_p: float = 0.95,
+    until_iters: Optional[jax.Array] = None,
+) -> "LookaheadState":
+    """Run the pallas window loop to completion — or, when
+    ``until_iters`` (a traced scalar) is given, at most until that many
+    window forwards have executed (st.iters). One compiled program
+    serves every segment; a finished segment is a no-op, so callers can
+    dispatch a fixed schedule asynchronously (see PhaseRunner)."""
+    dec_params = params
+    if wq:
+        from meshanything_tpu.ops.wquant import quantize_opt_layers
+
+        dec_params = dict(params, layers=quantize_opt_layers(params["layers"]))
+
+    def cond_fn(st):
+        live = (st.steps < max_new_tokens) & ~st.done
+        any_live = jnp.any(live)
+        if until_iters is not None:
+            any_live = any_live & (st.iters < until_iters)
+        return any_live
+
+    return jax.lax.while_loop(
+        cond_fn,
+        lambda st: _window_step(dec_params, cfg, st, window, s_max, attn=attn,
+                                chunk=bucket, interpret=interpret,
+                                max_new_tokens=max_new_tokens, wq=wq,
+                                sampling=sampling, top_k=top_k, top_p=top_p),
+        state,
+    )
+
+
+def generate_lookahead(
+    params: dict,
+    cfg: ShapeOPTConfig,
+    cond_embeds: jax.Array,
+    *,
+    max_new_tokens: int,
+    window: int = 8,
+    bucket: int = 512,
+    key: Optional[jax.Array] = None,
+    attn: str = "auto",
+    return_stats: bool = False,
+    wq: bool = False,
+    prompt_ids: Optional[jax.Array] = None,
+    sampling: bool = False,
+    top_k: int = 50,
+    top_p: float = 0.95,
+):
+    """Greedy generation with lookahead. Token-identical to
+    ``generate(..., sampling=False)`` in exact arithmetic (bf16 caveat
+    in the module docstring). Returns (B, max_new_tokens) — or, with
+    return_stats, a (tokens, stats) pair where stats carries the window
+    forwards executed and the per-row emitted token counts, so callers
+    can compute the measured acceptance rate
+    (sum(emitted - 1) / iterations; the prefill emits the first token).
+
+    prompt_ids (B, P): continue from a token prefix (see
+    shape_opt.generate) — the prefix is prefilled in one causal pass
+    and echoed into the output; stats count only continuation tokens.
+
+    sampling=True: speculative top-k/top-p sampling (requires ``key``) —
+    each window's greedy continuations serve as the draft chain, and the
+    accept/residual rule of _speculative_accept preserves the exact
+    step-by-step sampling distribution (the reference's do_sample
+    surface, meshanything.py:153-162, at lookahead speed).
+    """
+    if attn == "auto":
+        attn = "pallas" if jax.default_backend() == "tpu" else "xla"
+    interpret = attn.startswith("pallas") and jax.default_backend() != "tpu"
+    b, c, _ = cond_embeds.shape
+    p_len = 0 if prompt_ids is None else prompt_ids.shape[1]
+    w = window
+    s_max = -(-(c + max_new_tokens + w) // bucket) * bucket
+    state = init_lookahead_state(
+        params, cfg, cond_embeds, max_new_tokens=max_new_tokens,
+        window=window, bucket=bucket, key=key, attn=attn,
+        prompt_ids=prompt_ids, sampling=sampling, top_k=top_k, top_p=top_p)
+    # int8 weights for the window forwards; prefill (inside init) stays bf16
+    dec_params = params
+    if wq:
+        from meshanything_tpu.ops.wquant import quantize_opt_layers
+
+        dec_params = dict(params, layers=quantize_opt_layers(params["layers"]))
+
+    if attn.startswith("pallas"):
+        state = lookahead_segment(
+            params, cfg, state, s_max=s_max, max_new_tokens=max_new_tokens,
+            window=w, attn=attn, bucket=bucket, interpret=interpret, wq=wq,
+            sampling=sampling, top_k=top_k, top_p=top_p)
         if return_stats:
             return state.tokens[:, :max_new_tokens], {
                 "iterations": state.iters, "emitted": state.steps - p_len}

@@ -172,18 +172,41 @@ class PhaseRunner:
         resolved = attn if attn != "auto" else (
             "pallas" if jax.default_backend() == "tpu" else "xla")
         interp = resolved.startswith("pallas") and jax.default_backend() != "tpu"
-        self._segmented = resolved.startswith("pallas") and lookahead == 0
+        self._segmented = resolved.startswith("pallas")
         gl = cfg.generate_length
-        seg = 1800  # worst measured step rate ~10 ms -> <=18 s/segment
-        self._seg_bounds = [min((i + 1) * seg, gl) for i in range(-(-gl // seg))]
-        s_max = -(-(cfg.cond_length + gl) // bucket) * bucket
+        if lookahead > 0:
+            # bound by window forwards (st.iters): ~42 ms each at large
+            # batch -> ~17 s/segment; worst case (acceptance 1) is gl
+            # forwards, and finished segments are no-ops
+            seg = 400
+            self._seg_bounds = [(i + 1) * seg for i in range(-(-gl // seg))]
+            s_max = -(-(cfg.cond_length + gl + lookahead) // bucket) * bucket
+        else:
+            seg = 1800  # worst measured step rate ~10 ms -> <=18 s/segment
+            self._seg_bounds = [min((i + 1) * seg, gl) for i in range(-(-gl // seg))]
+            s_max = -(-(cfg.cond_length + gl) // bucket) * bucket
 
         def decode_init(params, cond, key, sampling):
+            if lookahead > 0:
+                from meshanything_tpu.models import lookahead as la_mod
+
+                return la_mod.init_lookahead_state(
+                    params["opt"], cfg.opt, cond, max_new_tokens=gl,
+                    window=lookahead, bucket=bucket, key=key, attn=resolved,
+                    sampling=sampling)
             return opt_mod.init_decode_state(
                 params["opt"], cfg.opt, cond, max_new_tokens=gl, key=key,
                 sampling=sampling, bucket=bucket, attn=resolved)
 
         def decode_seg(params, state, until, sampling):
+            if lookahead > 0:
+                from meshanything_tpu.models import lookahead as la_mod
+
+                return la_mod.lookahead_segment(
+                    params["opt"], cfg.opt, state, s_max=s_max,
+                    max_new_tokens=gl, window=lookahead, attn=resolved,
+                    bucket=bucket, interpret=interp, wq=wq,
+                    sampling=sampling, until_iters=until)
             return opt_mod.decode_segment(
                 params["opt"], cfg.opt, state, s_max=s_max, max_new_tokens=gl,
                 until=until, early_exit=early_exit, attn=resolved,
@@ -265,7 +288,8 @@ class PhaseRunner:
                     state = self._decode_seg(self.params, state,
                                              jnp.asarray(until, jnp.int32),
                                              sampling=sampling)
-                raw = state.tokens
+                # lookahead's token buffer carries +window scratch slots
+                raw = state.tokens[:, : self.cfg.generate_length]
             else:
                 raw = self._decode(self.params, cond, key, sampling=sampling)
             fence(raw)

@@ -122,3 +122,27 @@ def test_segmented_decode_matches_single_loop(cfg, rng):
         params["opt"], cfg.opt, cond, max_new_tokens=gl,
         key=jax.random.PRNGKey(0), bucket=16, early_exit=False, attn="pallas")
     np.testing.assert_array_equal(np.asarray(out.token_ids), np.asarray(ref))
+
+
+def test_segmented_lookahead_matches_single_loop(cfg, rng):
+    """The segmented lookahead path (window forwards bounded by a traced
+    until_iters) must be token-identical to the single-loop
+    generate_lookahead."""
+    import jax.numpy as jnp
+
+    from meshanything_tpu.models.lookahead import generate_lookahead
+    from meshanything_tpu.runtime.phases import PhaseRunner
+
+    params = ma.init_meshanything_params(jax.random.PRNGKey(2), cfg)
+    runner = PhaseRunner(params, cfg, bucket=16, attn="pallas", lookahead=4)
+    assert runner._segmented
+    runner._seg_bounds = [2, 4, 6, cfg.generate_length]  # force tiny segments
+    pc = jnp.asarray(
+        rng.normal(size=(2, cfg.perceiver.num_points, 6)).astype(np.float32) * 0.3)
+    out = runner(pc)
+
+    pf, cond = runner._encode(params, pc)
+    ref = generate_lookahead(
+        params["opt"], cfg.opt, cond, max_new_tokens=cfg.generate_length,
+        window=4, bucket=16, attn="pallas", key=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(out.token_ids), np.asarray(ref))
