@@ -311,7 +311,7 @@ def main():
     for attn, batch, la, wq, metric, label in (
         ("pallas", 8, 8, False, "mesh_latency_800f_la8_b8", "bf16+lookahead W=8 B=8"),
         ("pallas_int8", 16, 8, False, "mesh_latency_800f_int8_la8_b16", "int8+lookahead W=8 B=16"),
-        ("pallas_int4", 48, 0, False, "mesh_latency_800f_int4_b48", "int4 KV B=48"),
+        ("pallas_int4", 64, 0, False, "mesh_latency_800f_int4_b64", "int4 KV B=64"),
         ("pallas_int4", 24, 8, False, "mesh_latency_800f_int4_la8_b24", "int4+lookahead W=8 B=24"),
         ("pallas_int8", 1, 0, True, "mesh_latency_800f_w8a8_int8_b1", "w8a8+int8KV B=1"),
         # best single-mesh latency (w8a8 at large batch/lookahead adds
