@@ -24,8 +24,13 @@ contraction is recast as block-diagonal matmuls:
   out_full[h, :] = sum_s p[h, s] * v[s, :]; the true per-head output is
   the h-th D-block of row h, extracted by the caller.
 
-The HxD FLOP inflation is irrelevant: the op is HBM-bandwidth-bound
-(~2 FLOPs/byte against the MXU's thousands).
+The HxD FLOP inflation is tolerable only if the matmuls ride the MXU's
+native bf16 path: at bf16 caches the op is HBM-bandwidth-bound, but a
+quantized (int8/int4) stream shrinks the bytes 2-4x while the inflated
+FLOPs stay (~44 TFLOP per 800-face mesh at W=8) — in f32 that made the
+quantized kernels COMPUTE-bound (measured: int4 B=64 1.883 s/mesh ~=
+the f32-matmul roofline). Hence the matmul dtype policy below: operands
+in the query dtype, accumulation in f32, softmax statistics in f32.
 
 Variant parameterization (replacing the three hand-mirrored round-1
 kernel bodies):
@@ -74,6 +79,17 @@ def _flash_decode_kernel(
         kv_hbm, o_ref, k_buf, v_buf, sem = refs
         scale_hbm = ks_buf = vs_buf = None
 
+    # Matmul operand dtype = the query dtype (bf16 in production). The
+    # kernel is COMPUTE-bound once the KV stream is quantized (the
+    # block-diagonal trick inflates FLOPs H-fold: ~44 TFLOP/mesh at
+    # W=8), and f32 dot_generals run ~6x slower than native
+    # bf16xbf16->f32 MXU passes. Lossless by construction: bf16 cache
+    # values and int8/int4 codes ([-127,127] / [-8,7]) are all exactly
+    # representable in bf16, products accumulate in f32, and the 1/sqrt(d)
+    # scale is applied post-matmul in f32 — so logits match the f32
+    # formulation up to accumulation order.
+    mm_dtype = qmat_ref.dtype
+
     def load_kv(buf_slot):
         # bits=4: nibble-split + lane-aligned concat (the packing
         # contract of ops/kvcache.py puts column j's pair at j + HD/2,
@@ -82,8 +98,8 @@ def _flash_decode_kernel(
             raw = buf_slot.astype(jnp.int32)
             hi = jax.lax.shift_right_arithmetic(raw, 4)
             lo = jnp.bitwise_xor(jnp.bitwise_and(raw, 15), 8) - 8
-            return jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
-        return buf_slot.astype(jnp.float32)
+            return jnp.concatenate([lo, hi], axis=-1).astype(mm_dtype)
+        return buf_slot.astype(mm_dtype)
 
     b = pl.program_id(0)
     layer = layer_ref[0]
@@ -112,7 +128,7 @@ def _flash_decode_kernel(
             for dma in get_dma(pre % depth, pre):
                 dma.start()
 
-    qmat = qmat_ref[0].astype(jnp.float32) * scale                # (W*H, HD)
+    qmat = qmat_ref[0]                                            # (W*H, HD)
     wh, hd = qmat.shape
 
     # per logits-row kv visibility
@@ -138,7 +154,7 @@ def _flash_decode_kernel(
         logits = jax.lax.dot_general(
             qmat, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                         # (W*H, CHUNK)
+        ) * scale                                                 # (W*H, CHUNK)
         if quantized:
             logits = logits * ks_buf[slot]                        # (1, CHUNK) bcast
         span = i * chunk + jax.lax.broadcasted_iota(jnp.int32, (wh, chunk), 1)
@@ -151,7 +167,17 @@ def _flash_decode_kernel(
         l_new = corr * l_prev[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
         if quantized:
             p = p * vs_buf[slot]
-        pv = jnp.dot(p, v, preferred_element_type=jnp.float32)    # (W*H, HD)
+        # p.V matmul: quantized tiers (already approximate by the cache
+        # codes, >=0.4% elementwise) run it in mm_dtype — the bf16
+        # rounding of p (2^-9 relative) is within the tier's noise and
+        # buys the native-MXU pass. The exact bf16 tiers keep p in f32
+        # so their token streams are untouched.
+        if quantized and mm_dtype != jnp.float32:
+            pv = jnp.dot(p.astype(mm_dtype), v,
+                         preferred_element_type=jnp.float32)      # (W*H, HD)
+        else:
+            pv = jnp.dot(p, v.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)      # (W*H, HD)
         acc_new = acc * corr + pv
         return (
             acc_new,

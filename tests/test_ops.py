@@ -225,3 +225,55 @@ def test_decode_attention_mq_int8_interpret(rng):
                 ref[b, w] = np.einsum("hs,shd->hd", p, v[b, :cur])
         np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-4,
                                    err_msg=f"layer={layer}")
+
+
+def test_decode_attention_bf16_query_matches_reference(rng):
+    """Production dtype: bf16 queries + bf16 cache. The kernel runs its
+    matmuls in the query dtype (native MXU pass on TPU) with f32
+    accumulation and post-matmul 1/sqrt(d) scaling — products of bf16
+    values are exact, so the result must track the f32 reference on the
+    same bf16 inputs to within bf16 output rounding."""
+    B, H, D, S, L = 1, 4, 64, 256, 2
+    q = jnp.asarray(rng.normal(size=(B, H, D)).astype(np.float32)).astype(jnp.bfloat16)
+    kv = jnp.asarray(rng.normal(size=(2, L, B, S, H * D)).astype(np.float32) * 0.3).astype(jnp.bfloat16)
+    for layer in (0, 1):
+        for cur in (3, 127, 200):
+            out = decode_attention(q, kv, layer, cur, chunk=128, interpret=True)
+            ref = decode_attention_reference(q, kv, layer, cur)
+            np.testing.assert_allclose(
+                np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                atol=1.5e-2, rtol=1.5e-2, err_msg=f"layer={layer} cur={cur}",
+            )
+
+
+def test_decode_attention_mq_int4_bf16_query(rng):
+    """bf16-query int4 MQ path — exercises the low-precision p.V matmul
+    (quantized tiers cast the probabilities to the query dtype). Error
+    budget: int4 code rounding dominates; bf16 p adds ~2^-9 relative."""
+    from meshanything_tpu.ops.decode_attention import decode_attention_mq_int4_impl
+    from meshanything_tpu.ops.kvcache import quantize_rows_int4, unpack_int4
+
+    B, W, H, D, S, L = 2, 3, 4, 64, 256, 2
+    q = jnp.asarray(rng.normal(size=(B, W, H, D)).astype(np.float32)).astype(jnp.bfloat16)
+    kv = jnp.asarray(rng.normal(size=(2, L, B, S, H * D)).astype(np.float32) * 0.3)
+    values, scales = quantize_rows_int4(kv)
+    scales = jnp.transpose(scales, (0, 1, 2, 4, 3))  # (2, L, B, 1, S)
+    dequant = (unpack_int4(values).astype(jnp.float32)
+               * jnp.transpose(scales, (0, 1, 2, 4, 3))).astype(jnp.bfloat16)
+    base = jnp.asarray([5, 120], jnp.int32)
+    layer = 1
+    out = decode_attention_mq_int4_impl(
+        q, values, scales, layer, base, chunk=128, interpret=True,
+    )
+    # reference: per (row, window-pos) single-query attention on the
+    # dequantized cache with cur = base[row] + w + 1
+    ref = np.zeros((B, W, H, D), np.float32)
+    for bi in range(B):
+        for w in range(W):
+            r = decode_attention_reference(
+                q[bi:bi + 1, w], dequant[:, :, bi:bi + 1], layer,
+                int(base[bi]) + w + 1,
+            )
+            ref[bi, w] = np.asarray(r[0], np.float32)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               atol=2.5e-2, rtol=2.5e-2)
