@@ -50,6 +50,13 @@ def get_args(argv=None):
     parser.add_argument("--wq", default=False, action="store_true",
                         help="int8 W8A8 decode weights (fast mode: halves weight "
                              "HBM traffic at small batch; prefill/lm_head stay bf16)")
+    parser.add_argument("--fast", default=False, action="store_true",
+                        help="fast serving preset: --wq --attn pallas_int8 "
+                             "--lookahead 8 — the stack with 1.0000 token "
+                             "agreement vs exact bf16 on the trained-350M probe "
+                             "(PERF.md r3) at ~2.3 s/mesh single-request vs "
+                             "~12.5 s exact. Explicit --attn/--lookahead values "
+                             "still win over the preset.")
     parser.add_argument("--complete_from", default=None, type=str,
                         help="partial mesh (OBJ/PLY, model output space "
                              "[-0.5,0.5)) whose faces seed the decoder — "
@@ -68,7 +75,23 @@ def get_args(argv=None):
                              "batch (no inputs needed), then run any inputs")
     parser.add_argument("--help", action="help")
 
-    return parser.parse_args(argv)
+    return apply_fast_preset(parser.parse_args(argv))
+
+
+def apply_fast_preset(args):
+    """Resolve --fast into its concrete knobs (w8a8 weights + int8 KV +
+    lookahead 8). This is the user-facing single-request fast tier:
+    engine-level 2.27 s/mesh vs 12.4 s exact bf16 (PERF.md r3), with
+    1.0000 token agreement vs the exact stream on the trained-350M
+    probe (tools/trained_agreement_probe.py). Explicitly passed
+    --attn/--lookahead override the preset pieces."""
+    if getattr(args, "fast", False):
+        if args.attn == "auto":
+            args.attn = "pallas_int8"
+        if args.lookahead == 0:
+            args.lookahead = 8
+        args.wq = True
+    return args
 
 
 def build_config(args):

@@ -114,7 +114,8 @@ def _window_step(params, cfg: ShapeOPTConfig, state: LookaheadState,
                  window: int, kv_slice_len: int, attn: str = "xla",
                  chunk: int = 512, interpret: bool = False,
                  max_new_tokens: int | None = None, wq: bool = False,
-                 sampling: bool = False, top_k: int = 50, top_p: float = 0.95):
+                 sampling: bool = False, top_k: int = 50, top_p: float = 0.95,
+                 max_accept: int | None = None):
     """One W-token forward + acceptance.
 
     attn="pallas": the multi-query flash-decoding kernel streams exactly
@@ -264,6 +265,16 @@ def _window_step(params, cfg: ShapeOPTConfig, state: LookaheadState,
         run = jnp.cumprod(hits.astype(jnp.int32), axis=-1)          # leading-run mask
         accepted = 1 + run.sum(axis=-1)                             # (B,) in [1, W]
 
+    # measurement knob (bench.py acceptance band): cap the per-forward
+    # acceptance. A shorter prefix of a valid accept run is still valid
+    # (every accepted token is the model's own greedy prediction over a
+    # confirmed context), so the stream stays token-identical — this
+    # only forces the wall-clock into a lower-acceptance regime, e.g.
+    # the converged-model ~4.0 bound (PERF.md) instead of the
+    # near-degenerate 7.9 the grammar probe reaches.
+    if max_accept is not None:
+        accepted = jnp.minimum(accepted, max_accept)
+
     # cut acceptance at the first emitted eos (inclusive)
     is_eos = emitted == cfg.eos_token_id
     first_eos = jnp.argmax(is_eos, axis=-1)
@@ -407,6 +418,7 @@ def lookahead_segment(
     top_k: int = 50,
     top_p: float = 0.95,
     until_iters: Optional[jax.Array] = None,
+    max_accept: Optional[int] = None,
 ) -> "LookaheadState":
     """Run the pallas window loop to completion — or, when
     ``until_iters`` (a traced scalar) is given, at most until that many
@@ -431,7 +443,8 @@ def lookahead_segment(
         lambda st: _window_step(dec_params, cfg, st, window, s_max, attn=attn,
                                 chunk=bucket, interpret=interpret,
                                 max_new_tokens=max_new_tokens, wq=wq,
-                                sampling=sampling, top_k=top_k, top_p=top_p),
+                                sampling=sampling, top_k=top_k, top_p=top_p,
+                                max_accept=max_accept),
         state,
     )
 
@@ -452,6 +465,7 @@ def generate_lookahead(
     sampling: bool = False,
     top_k: int = 50,
     top_p: float = 0.95,
+    max_accept: Optional[int] = None,
 ):
     """Greedy generation with lookahead. Token-identical to
     ``generate(..., sampling=False)`` in exact arithmetic (bf16 caveat
@@ -474,6 +488,13 @@ def generate_lookahead(
     if attn == "auto":
         attn = "pallas" if jax.default_backend() == "tpu" else "xla"
     interpret = attn.startswith("pallas") and jax.default_backend() != "tpu"
+    if max_accept is not None and sampling:
+        # the speculative accept/residual rule already consumed its
+        # randomness by the time a cap could truncate the run — the
+        # truncated stream would no longer carry the exact step-by-step
+        # sampling distribution. The cap is a greedy-only bench knob.
+        raise ValueError("max_accept is a greedy-mode measurement knob; "
+                         "it does not preserve the sampling distribution")
     b, c, _ = cond_embeds.shape
     p_len = 0 if prompt_ids is None else prompt_ids.shape[1]
     w = window
@@ -493,7 +514,8 @@ def generate_lookahead(
         state = lookahead_segment(
             params, cfg, state, s_max=s_max, max_new_tokens=max_new_tokens,
             window=w, attn=attn, bucket=bucket, interpret=interpret, wq=wq,
-            sampling=sampling, top_k=top_k, top_p=top_p)
+            sampling=sampling, top_k=top_k, top_p=top_p,
+            max_accept=max_accept)
         if return_stats:
             return state.tokens[:, :max_new_tokens], {
                 "iterations": state.iters, "emitted": state.steps - p_len}
@@ -514,7 +536,8 @@ def generate_lookahead(
         def body_fn(st, _bend=bend):
             return _window_step(dec_params, cfg, st, w, _bend,
                                 max_new_tokens=max_new_tokens, wq=wq,
-                                sampling=sampling, top_k=top_k, top_p=top_p)
+                                sampling=sampling, top_k=top_k, top_p=top_p,
+                                max_accept=max_accept)
 
         state = jax.lax.while_loop(cond_fn, body_fn, state)
 
@@ -527,7 +550,8 @@ def generate_lookahead(
         cond_fn,
         lambda st: _window_step(dec_params, cfg, st, w, s_max,
                                 max_new_tokens=max_new_tokens, wq=wq,
-                                sampling=sampling, top_k=top_k, top_p=top_p),
+                                sampling=sampling, top_k=top_k, top_p=top_p,
+                                max_accept=max_accept),
         state,
     )
 

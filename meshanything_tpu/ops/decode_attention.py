@@ -220,6 +220,14 @@ def _flash_decode(
     quantized = kv_scales is not None
     packed_hd = hd // 2 if (quantized and bits == 4) else hd
     assert kv_values.shape[-1] == packed_hd, (kv_values.shape, h, d, bits)
+    # The unquantized ("exact tier") path loads cache values in the
+    # query dtype; a wider cache (e.g. f32 KV with bf16 queries) would
+    # be silently downcast inside the kernel, quietly breaking the
+    # exactness guarantee — refuse it up front (ADVICE r3).
+    assert quantized or kv_values.dtype == q.dtype, (
+        f"unquantized KV cache dtype {kv_values.dtype} must match the "
+        f"query dtype {q.dtype} (the kernel loads cache tiles as the "
+        "query dtype; a wider cache would silently lose precision)")
     scale = 1.0 / math.sqrt(d)
 
     # block-diagonal embedding per (w, h) pair

@@ -40,7 +40,8 @@ class ServingEngine:
     """Load-once model + per-request generation (app.py:16-25,95-174)."""
 
     def __init__(self, params, cfg, *, bucket: int = 512, attn: str = "auto",
-                 lookahead: int = 0, artifacts_dir: str | None = None,
+                 lookahead: int = 0, wq: bool = False,
+                 artifacts_dir: str | None = None,
                  runner=None, aot_dir: str | None = None, batching: int = 0):
         """batching > 0 wraps the runner in a dynamic micro-batcher
         (runtime/batching.py): concurrent requests coalesce into one
@@ -61,7 +62,7 @@ class ServingEngine:
         # round-trip instead of recompiling identical shapes)
         if runner is None:
             runner = PhaseRunner(params, cfg, bucket=bucket, attn=attn,
-                                 lookahead=lookahead, aot_dir=aot_dir)
+                                 lookahead=lookahead, wq=wq, aot_dir=aot_dir)
         if batching and batching > 1:
             from meshanything_tpu.runtime.batching import BatchingRunner
 
@@ -489,8 +490,11 @@ def main(argv=None):
     args = get_args(argv)
     cfg = build_config(args)
     params = load_params(args, cfg)
+    # --fast resolves to wq + pallas_int8 + lookahead 8 in get_args
+    # (cli.apply_fast_preset) — the ≤3 s single-request serving preset
     engine = ServingEngine(params, cfg, bucket=args.bucket, attn=args.attn,
-                           lookahead=args.lookahead, aot_dir=args.aot_dir,
+                           lookahead=args.lookahead, wq=args.wq,
+                           aot_dir=args.aot_dir,
                            batching=args.batchsize_per_gpu)
     try:
         import gradio  # noqa: F401

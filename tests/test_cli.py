@@ -37,6 +37,22 @@ def test_tpu_extras_parse():
     assert cfg.activation_dtype.__name__ == "float32"
 
 
+def test_fast_preset_resolves():
+    # --fast = the 1.0000-trained-agreement serving stack (VERDICT r3 #2)
+    args = get_args(["--input_path", "x.npy", "--fast"])
+    assert args.attn == "pallas_int8"
+    assert args.lookahead == 8
+    assert args.wq
+
+
+def test_fast_preset_explicit_flags_win():
+    args = get_args(["--input_path", "x.npy", "--fast",
+                     "--attn", "pallas_int4", "--lookahead", "4"])
+    assert args.attn == "pallas_int4"
+    assert args.lookahead == 4
+    assert args.wq  # wq stays part of the preset
+
+
 def test_invalid_attn_rejected():
     with pytest.raises(SystemExit):
         get_args(["--input_path", "x", "--attn", "flash3"])

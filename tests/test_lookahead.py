@@ -34,6 +34,41 @@ def test_lookahead_matches_plain_greedy(rng, window):
         )
 
 
+def test_lookahead_max_accept_cap_stays_exact(rng):
+    """max_accept (the bench.py acceptance-band knob) truncates each
+    forward's accept run — the stream must stay token-identical to
+    plain greedy (a prefix of a valid run is valid), while the capped
+    run needs at least as many window forwards."""
+    params = sopt.init_shape_opt_params(jax.random.PRNGKey(3), CFG)
+    b = 2
+    cond = jnp.asarray(rng.normal(size=(b, CFG.cond_length, CFG.hidden_size)).astype(np.float32) * 0.5)
+
+    plain = np.asarray(sopt.generate(params, CFG, cond, max_new_tokens=24, bucket=16, attn="xla"))
+    capped, st_c = generate_lookahead(params, CFG, cond, max_new_tokens=24,
+                                      window=8, bucket=16, max_accept=2,
+                                      return_stats=True)
+    free, st_f = generate_lookahead(params, CFG, cond, max_new_tokens=24,
+                                    window=8, bucket=16, return_stats=True)
+    capped = np.asarray(capped)
+    for row in range(b):
+        eos = np.where(plain[row] == CFG.eos_token_id)[0]
+        limit = (eos[0] + 1) if len(eos) else plain.shape[1]
+        np.testing.assert_array_equal(capped[row, :limit], plain[row, :limit])
+    assert int(st_c["iterations"]) >= int(st_f["iterations"])
+    # effective per-row acceptance under the cap is at most max_accept
+    acc = float(np.asarray(st_c["emitted"]).sum() - b) / max(int(st_c["iterations"]), 1) / b
+    assert acc <= 2.0 + 1e-6
+
+
+def test_lookahead_max_accept_rejects_sampling():
+    params = sopt.init_shape_opt_params(jax.random.PRNGKey(3), CFG)
+    cond = jnp.zeros((1, CFG.cond_length, CFG.hidden_size))
+    with pytest.raises(ValueError, match="max_accept"):
+        generate_lookahead(params, CFG, cond, max_new_tokens=8, window=4,
+                           bucket=16, sampling=True,
+                           key=jax.random.PRNGKey(0), max_accept=2)
+
+
 def test_lookahead_batch_rows_divergent_lengths(rng):
     """Rows hitting eos at different steps must not corrupt each other."""
     params = sopt.init_shape_opt_params(jax.random.PRNGKey(9), CFG)

@@ -7,6 +7,7 @@ import jax.numpy as jnp
 
 from meshanything_tpu.ops.decode_attention import (
     decode_attention,
+    decode_attention_impl,
     decode_attention_reference,
 )
 from meshanything_tpu.ops.kvcache import (
@@ -244,6 +245,45 @@ def test_decode_attention_bf16_query_matches_reference(rng):
                 np.asarray(out, np.float32), np.asarray(ref, np.float32),
                 atol=1.5e-2, rtol=1.5e-2, err_msg=f"layer={layer} cur={cur}",
             )
+
+
+def test_decode_attention_int8_bf16_query(rng):
+    """bf16-query int8 SINGLE-query path (the production pallas_int8
+    decode step, shape_opt.py) — exercises the same low-precision p.V
+    branch as the int4 MQ test for decode_attention_int8_impl
+    (ADVICE r3). Error budget: int8 code rounding ~0.4% dominates;
+    bf16 p adds ~2^-9 relative."""
+    from meshanything_tpu.ops.decode_attention import decode_attention_int8_impl
+
+    B, H, D, S, L = 2, 4, 64, 256, 2
+    q = jnp.asarray(rng.normal(size=(B, H, D)).astype(np.float32)).astype(jnp.bfloat16)
+    kv = rng.normal(size=(2, L, B, S, H * D)).astype(np.float32) * 0.3
+    amax = np.abs(kv).max(-1, keepdims=True)
+    scales = np.maximum(amax, 1e-8) / 127.0
+    values = np.clip(np.round(kv / scales), -127, 127).astype(np.int8)
+    scales_t = np.transpose(scales, (0, 1, 2, 4, 3))
+    dequant = jnp.asarray(values.astype(np.float32) * scales).astype(jnp.bfloat16)
+    for layer in (0, 1):
+        for cur in (7, 200):
+            out = decode_attention_int8_impl(
+                q, jnp.asarray(values), jnp.asarray(scales_t), layer, cur,
+                chunk=128, interpret=True,
+            )
+            ref = decode_attention_reference(q, dequant, layer, cur)
+            np.testing.assert_allclose(
+                np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                atol=2e-2, rtol=2e-2, err_msg=f"layer={layer} cur={cur}")
+
+
+def test_decode_attention_rejects_mixed_unquantized_dtypes(rng):
+    """f32 cache with bf16 queries would silently downcast the 'exact
+    tier' cache values inside the kernel — the builder refuses it
+    (ADVICE r3)."""
+    B, H, D, S, L = 1, 4, 64, 128, 1
+    q = jnp.zeros((B, H, D), jnp.bfloat16)
+    kv = jnp.zeros((2, L, B, S, H * D), jnp.float32)
+    with pytest.raises(AssertionError, match="unquantized KV cache dtype"):
+        decode_attention_impl(q, kv, 0, 3, chunk=128, interpret=True)
 
 
 def test_decode_attention_mq_int4_bf16_query(rng):
