@@ -3,28 +3,39 @@
 
 Prints one JSON line per completed config; the LAST line is the
 headline:
-  {"metric": "mesh_latency_800f_b8", "value": <seconds per mesh>,
+  {"metric": "mesh_latency_800f_b16", "value": <seconds per mesh>,
    "unit": "s", "vs_baseline": <A6000_30s / value>}
 
 Methodology: the full 350M pipeline (perceiver encode + condition +
 7,202-token AR decode + detokenizer) at the 800-face cap with early-exit
 disabled — the honest comparable to the reference's "~30 s per mesh on
 A6000" (README.md:116), which is full-length generation. Exact bf16
-numerics are the headline; fast modes (int8/int4 KV, lookahead) and the
-BASELINE.json fixture configs (mouse.npy pc path, wand.obj mesh path,
-serving round-trip) are emitted as secondary metric lines, along with a
-measured HBM bandwidth floor for exact mode (the speed-of-light proof —
-exact bf16 must read 2.73 TB of KV per mesh, so its per-mesh floor on
-one chip is bandwidth-bound regardless of kernel quality).
+numerics are the headline; fast modes (int8/int4 KV, lookahead, w8a8)
+and the BASELINE.json fixture configs (mouse.npy pc path, wand.obj mesh
+path, serving round-trip — each in exact AND fast tiers) are emitted as
+secondary metric lines, along with a measured HBM bandwidth floor for
+exact mode (the speed-of-light proof — exact bf16 must read 2.73 TB of
+KV per mesh, so its per-mesh floor on one chip is bandwidth-bound
+regardless of kernel quality).
+
+DEADLINE DISCIPLINE (VERDICT r3 #1 — BENCH_r03 was killed at rc=124 and
+lost four metric lines plus the headline re-emit): the run holds itself
+to a wall-clock budget (env BENCH_BUDGET_S, default 1500 s — inside the
+driver's kill window). Sections are ordered most-informative-first,
+each carries a cost estimate and is skipped (with a log line) when the
+remaining budget cannot cover it, and an atexit/SIGTERM hook guarantees
+the exact-bf16 headline is re-emitted as the final stdout line no
+matter what ends the process.
 
 Weights are random (the shipped checkpoint needs network access);
 latency is weight-value-independent at fixed token count.
 Diagnostics go to stderr. Lines are emitted incrementally so an
-external timeout still leaves valid results on stdout; the headline is
-re-emitted last from the cached measurement.
+external timeout still leaves valid results on stdout.
 """
+import atexit
 import json
 import os
+import signal
 import sys
 import time
 
@@ -32,10 +43,20 @@ import numpy as np
 
 BASELINE_S = 30.0  # A6000 per-mesh latency, reference README.md:116
 REF = "/root/reference"
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+T_START = time.monotonic()
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def elapsed():
+    return time.monotonic() - T_START
+
+
+def remaining():
+    return BUDGET_S - elapsed()
 
 
 def emit(metric, value, unit="s", vs=None):
@@ -47,7 +68,42 @@ def emit(metric, value, unit="s", vs=None):
     }), flush=True)
 
 
-def run_config(runner, pc, batch, label, gen_len):
+_HEADLINE = {}  # metric -> value; re-emitted last by the exit hook
+
+
+def _final_emit():
+    if _HEADLINE:
+        (metric, value), = _HEADLINE.items()
+        emit(metric, value)
+
+
+def _install_exit_hooks():
+    atexit.register(_final_emit)
+
+    def _term(signum, frame):
+        # sys.exit from a signal handler unwinds through atexit, so the
+        # headline still lands last on stdout when the driver's timeout
+        # SIGTERMs us (rc stays nonzero — the budget below is what keeps
+        # rc=0 in the normal case).
+        sys.exit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _term)
+    signal.signal(signal.SIGINT, _term)
+
+
+def fits(name, est):
+    """Budget gate: skip-and-log a section whose estimate no longer
+    fits (VERDICT r3 #1 — silent truncation reads as coverage)."""
+    r = remaining()
+    if r < est:
+        log(f"SKIP {name}: est {est:.0f}s > remaining {r:.0f}s "
+            f"(BENCH_BUDGET_S={BUDGET_S:.0f})")
+        return False
+    log(f"[{elapsed():.0f}s] {name} (est {est:.0f}s, {r:.0f}s left)")
+    return True
+
+
+def run_config(runner, pc, batch, label, gen_len, runs=1):
     import jax
 
     t0 = time.time()
@@ -56,7 +112,7 @@ def run_config(runner, pc, batch, label, gen_len):
     log(f"{label}: compile+first run {time.time() - t0:.1f}s")
 
     times = []
-    for i in range(2):
+    for i in range(runs):
         t0 = time.time()
         out = runner(pc)
         jax.device_get(out.token_ids.ravel()[0])
@@ -75,262 +131,333 @@ def main():
     from meshanything_tpu.runtime.compile_cache import enable as enable_compile_cache
 
     enable_compile_cache()
+    _install_exit_hooks()
 
     from meshanything_tpu.config import MeshAnythingConfig
     from meshanything_tpu.models import meshanything as ma
     from meshanything_tpu.runtime.phases import PhaseRunner
 
     cfg = MeshAnythingConfig()
-    log(f"devices: {jax.devices()}")
+    log(f"devices: {jax.devices()}  budget: {BUDGET_S:.0f}s")
     params = ma.init_meshanything_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     runner = PhaseRunner(params, cfg, bucket=512, early_exit=False)
     rng = np.random.default_rng(0)
     gl = cfg.generate_length
 
-    headline = None
+    def make_pc(batch):
+        return jnp.asarray(rng.normal(
+            size=(batch, cfg.perceiver.num_points, 6)).astype(np.float32) * 0.5)
 
     # --- headline configs (exact bf16, max-length stress) -----------------
-    pc1 = jnp.asarray(rng.normal(size=(1, cfg.perceiver.num_points, 6)).astype(np.float32) * 0.5)
-    per1 = run_config(runner, pc1, 1, "exact bf16 B=1", gl)
+    # B=1 first: the p50 single-request exact number, and its compiled
+    # programs are reused by the fixture/serving sections below.
+    pc1 = make_pc(1)
+    fits("exact bf16 B=1", 75)  # logged, but B=1 ALWAYS runs: the driver
+    # needs at least one metric line even under a pathological budget
+    per1 = run_config(runner, pc1, 1, "exact bf16 B=1", gl, runs=2)
     emit("p50_mesh_latency_800f", per1)
-    headline = ("p50_mesh_latency_800f", per1)
+    _HEADLINE.clear()
+    _HEADLINE["p50_mesh_latency_800f"] = per1
 
     # B=16 is the largest exact-bf16 batch that fits HBM (13.2 GB
     # measured); its 75 s decode runs as 5 segments under the axon
     # worker's ~60 s per-program watchdog (PhaseRunner segmented decode,
     # PERF.md r3). Measured 4.695 s/mesh vs 4.87 (B=12) / 5.18 (B=8).
-    for bb, metric in ((16, "mesh_latency_800f_b16"),
-                       (12, "mesh_latency_800f_b12"), (8, "mesh_latency_800f_b8")):
+    for bb, metric, est in ((16, "mesh_latency_800f_b16", 330),
+                            (12, "mesh_latency_800f_b12", 260),
+                            (8, "mesh_latency_800f_b8", 150)):
+        if not fits(f"exact bf16 B={bb}", est):
+            continue
         try:
-            pcb = jnp.asarray(rng.normal(
-                size=(bb, cfg.perceiver.num_points, 6)).astype(np.float32) * 0.5)
-            perb = run_config(runner, pcb, bb, f"exact bf16 B={bb}", gl)
+            perb = run_config(runner, make_pc(bb), bb, f"exact bf16 B={bb}", gl)
             emit(metric, perb)
-            headline = (metric, perb)
+            _HEADLINE.clear()
+            _HEADLINE[metric] = perb
             break
         except Exception as e:
             log(f"B={bb} failed ({type(e).__name__}: {e}); trying smaller")
 
-    # --- bandwidth-floor proof --------------------------------------------
-    try:
-        from meshanything_tpu.runtime.bwprobe import (
-            exact_floor_seconds,
-            measure_kernel_bw,
-            measure_matmul_bw,
-        )
+    # --- the FAST TIER as the user-facing path (VERDICT r3 #2) -------------
+    # --fast preset = w8a8 weights + int8 KV + lookahead 8: 1.0000 token
+    # agreement vs exact bf16 on the trained-350M probe (PERF.md r3).
+    # Its engine-level 2.27 s/mesh is re-measured here AND driven through
+    # the same e2e fixture + serving round-trip as the exact tier, so the
+    # single-request path users touch has a driver-visible ≤3 s metric.
+    fast_runner = None
+    if fits("fast tier w8a8+int8+la8 B=1", 60):
+        try:
+            fast_runner = PhaseRunner(params, cfg, bucket=512, attn="pallas_int8",
+                                      lookahead=8, wq=True, early_exit=True)
+            per_fast = run_config(fast_runner, pc1, 1,
+                                  "w8a8+int8+lookahead W=8 B=1 (--fast)", gl)
+            emit("mesh_latency_800f_w8a8_int8_la8_b1", per_fast)
+        except Exception as e:
+            fast_runner = None
+            log(f"fast tier failed ({type(e).__name__}: {e})")
 
-        bw = max(measure_matmul_bw(), measure_kernel_bw())
-        log(f"measured HBM BW: {bw:.0f} GB/s")
-        floor_batch = {"mesh_latency_800f_b16": 16, "mesh_latency_800f_b12": 12,
-                       "mesh_latency_800f_b8": 8}.get(headline[0], 1)
-        floor = exact_floor_seconds(cfg, bw, batch=floor_batch)
-        emit(f"exact_bf16_floor_b{floor_batch}", floor)
-        log(f"exact bf16 B={floor_batch} is at {floor / headline[1] * 100:.0f}% of the "
-            f"measured-bandwidth speed of light")
-    except Exception as e:
-        log(f"floor probe failed ({type(e).__name__}: {e})")
+    if fast_runner is not None and fits("e2e fast fixture", 30):
+        try:
+            from meshanything_tpu.runtime.pipeline import load_inputs
+
+            path = os.path.join(REF, "pc_examples/mouse.npy")
+            if os.path.exists(path):
+                for attempt in range(2):  # first call may pay residual compile
+                    t0 = time.time()
+                    samples = load_inputs("pc_normal", [path],
+                                          num_points=cfg.perceiver.num_points, seed=0)
+                    pc = jnp.asarray(np.asarray(samples[0].pc_normal, np.float32)[None])
+                    out = fast_runner(pc)
+                    jax.device_get(out.token_ids.ravel()[0])
+                    warm = time.time() - t0
+                log(f"mouse_npy_pc_fast: {warm:.3f}s (incl. host preprocessing; "
+                    "--fast preset, early exit on)")
+                emit("e2e_mouse_npy_pc_fast", warm)
+        except Exception as e:
+            log(f"e2e fast fixture failed ({type(e).__name__}: {e})")
+
+    # --- exact-tier fixture configs (BASELINE.json): real inputs ----------
+    if fits("e2e exact fixtures", 70):
+        try:
+            from meshanything_tpu.runtime.pipeline import load_inputs
+
+            for name, path, itype in (
+                ("mouse_npy_pc", os.path.join(REF, "pc_examples/mouse.npy"), "pc_normal"),
+                ("wand_obj_mesh", os.path.join(REF, "examples/wand.obj"), "mesh"),
+            ):
+                if not os.path.exists(path):
+                    continue
+                warm = None
+                for attempt in range(2):
+                    t0 = time.time()
+                    samples = load_inputs(itype, [path],
+                                          num_points=cfg.perceiver.num_points, seed=0)
+                    pc = jnp.asarray(np.asarray(samples[0].pc_normal, np.float32)[None])
+                    out = runner(pc)  # same shapes as pc1 — compiled programs reused
+                    jax.device_get(out.token_ids.ravel()[0])
+                    warm = time.time() - t0
+                log(f"{name}: warm {warm:.3f}s (incl. host preprocessing)")
+                emit(f"e2e_{name}", warm)
+        except Exception as e:
+            log(f"fixture configs failed ({type(e).__name__}: {e})")
+
+    # --- serving round-trips: exact AND fast tiers -------------------------
+    def serving_roundtrip(metric, rt_runner, est):
+        if not fits(f"serving {metric}", est):
+            return
+        try:
+            import threading
+            import urllib.request
+            from http.server import ThreadingHTTPServer
+
+            from meshanything_tpu.serving import ServingEngine, _make_handler
+
+            class _Adapter:
+                # PhaseRunner-shaped wrapper dropping the key (greedy bench)
+                def __call__(self, pc, sampling=False, key=None):
+                    return rt_runner(jnp.asarray(pc))
+
+            engine = ServingEngine(params, cfg, runner=_Adapter(),
+                                   artifacts_dir="/tmp/bench_artifacts")
+            server = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(engine))
+            port = server.server_address[1]
+            threading.Thread(target=server.serve_forever, daemon=True).start()
+            wand = os.path.join(REF, "examples/wand.obj")
+            if os.path.exists(wand):
+                with open(wand, "rb") as fh:
+                    body = fh.read()
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/generate", data=body, method="POST")
+                with urllib.request.urlopen(req) as r:   # warm the path
+                    r.read()
+                t0 = time.time()
+                with urllib.request.urlopen(urllib.request.Request(
+                        f"http://127.0.0.1:{port}/generate", data=body,
+                        method="POST")) as r:
+                    r.read()
+                emit(metric, time.time() - t0)
+            server.shutdown()
+        except Exception as e:
+            log(f"serving {metric} failed ({type(e).__name__}: {e})")
+
+    if fast_runner is not None:
+        serving_roundtrip("serving_roundtrip_fast", fast_runner, est=30)
+    serving_roundtrip("serving_roundtrip", runner, est=50)
+
+    # --- bandwidth-floor proof --------------------------------------------
+    if fits("bandwidth floor", 60):
+        try:
+            from meshanything_tpu.runtime.bwprobe import (
+                exact_floor_seconds,
+                measure_kernel_bw,
+                measure_matmul_bw,
+            )
+
+            bw = max(measure_matmul_bw(), measure_kernel_bw())
+            log(f"measured HBM BW: {bw:.0f} GB/s")
+            (hmetric, hval), = _HEADLINE.items() if _HEADLINE else ((None, None),)
+            floor_batch = {"mesh_latency_800f_b16": 16, "mesh_latency_800f_b12": 12,
+                           "mesh_latency_800f_b8": 8}.get(hmetric, 1)
+            floor = exact_floor_seconds(cfg, bw, batch=floor_batch)
+            emit(f"exact_bf16_floor_b{floor_batch}", floor)
+            if hval:
+                log(f"exact bf16 B={floor_batch} is at {floor / hval * 100:.0f}% "
+                    "of the measured-bandwidth speed of light")
+        except Exception as e:
+            log(f"floor probe failed ({type(e).__name__}: {e})")
 
     # --- trained-weights lookahead (the honest exact-greedy claim) --------
     # random-weight lookahead acceptance is the degenerate best case
     # (VERDICT r1/r2); this trains (or loads a cached) 350M on the face
     # grammar ON-CHIP and measures acceptance, token agreement and
-    # jitted wall-clock speedup with structured weights — no caveat.
-    try:
-        from meshanything_tpu.training.synthetic_grammar import trained_lookahead_bench
+    # jitted wall-clock speedup with structured weights — and emits BOTH
+    # ends of the acceptance band (VERDICT r3 #5): the probe model's own
+    # ~7.9 and a max_accept=4 capped run matching the converged-model
+    # ~4.0 bound (PERF.md), so the record carries the band, not the
+    # best case.
+    from meshanything_tpu.training.synthetic_grammar import (
+        trained_lookahead_bench,
+    )
 
-        t0 = time.time()
-        st = trained_lookahead_bench(window=8, bucket=512)
-        log(f"trained lookahead: acceptance {st['acceptance']:.2f}, "
-            f"agreement {st['agreement']:.4f}, plain {st['t_plain']:.3f}s vs "
-            f"lookahead {st['t_look']:.3f}s over {st['plain_tokens']} tokens "
-            f"({time.time() - t0:.0f}s incl. train/compiles)")
-        emit("trained_la8_acceptance", st["acceptance"], unit="tokens/forward",
-             vs=st["acceptance"])
-        emit("trained_la8_agreement", st["agreement"], unit="fraction",
-             vs=st["agreement"])
-        emit("trained_la8_speedup", st["speedup"], unit="x", vs=st["speedup"])
-    except Exception as e:
-        log(f"trained lookahead failed ({type(e).__name__}: {e})")
-
-    # --- fixture configs (BASELINE.json): real inputs, early exit on ------
-    try:
-        from meshanything_tpu.runtime.pipeline import load_inputs
-
-        fix_runner = runner  # same shapes as pc1 — reuses the compiled programs
-        for name, path, itype in (
-            ("mouse_npy_pc", os.path.join(REF, "pc_examples/mouse.npy"), "pc_normal"),
-            ("wand_obj_mesh", os.path.join(REF, "examples/wand.obj"), "mesh"),
-        ):
-            if not os.path.exists(path):
-                continue
+    cache_default = "/tmp/grammar350m_s600b4n100lr0.001seed0.npz"
+    cache_path = os.environ.get("GRAMMAR_PROBE_CACHE", cache_default)
+    train_est = 250 if os.path.exists(cache_path) else 700
+    if fits("trained lookahead (350M grammar)", train_est):
+        try:
             t0 = time.time()
-            samples = load_inputs(itype, [path], num_points=cfg.perceiver.num_points, seed=0)
-            pc = jnp.asarray(np.asarray(samples[0].pc_normal, np.float32)[None])
-            out = fix_runner(pc)
-            jax.device_get(out.token_ids.ravel()[0])
-            first = time.time() - t0
-            t0 = time.time()
-            samples = load_inputs(itype, [path], num_points=cfg.perceiver.num_points, seed=0)
-            pc = jnp.asarray(np.asarray(samples[0].pc_normal, np.float32)[None])
-            out = fix_runner(pc)
-            jax.device_get(out.token_ids.ravel()[0])
-            warm = time.time() - t0
-            log(f"{name}: first {first:.1f}s, warm {warm:.3f}s (incl. host preprocessing)")
-            emit(f"e2e_{name}", warm)
-    except Exception as e:
-        log(f"fixture configs failed ({type(e).__name__}: {e})")
+            st = trained_lookahead_bench(window=8, bucket=512)
+            log(f"trained lookahead: acceptance {st['acceptance']:.2f}, "
+                f"agreement {st['agreement']:.4f}, plain {st['t_plain']:.3f}s vs "
+                f"lookahead {st['t_look']:.3f}s over {st['plain_tokens']} tokens "
+                f"({time.time() - t0:.0f}s incl. train/compiles)")
+            emit("trained_la8_acceptance", st["acceptance"], unit="tokens/forward",
+                 vs=st["acceptance"])
+            emit("trained_la8_agreement", st["agreement"], unit="fraction",
+                 vs=st["agreement"])
+            emit("trained_la8_speedup", st["speedup"], unit="x", vs=st["speedup"])
+        except Exception as e:
+            log(f"trained lookahead failed ({type(e).__name__}: {e})")
+
+        if fits("trained lookahead LOW band (max_accept=4)", 180):
+            try:
+                t0 = time.time()
+                lo = trained_lookahead_bench(window=8, bucket=512, max_accept=4)
+                log(f"trained lookahead low band: acceptance {lo['acceptance']:.2f}, "
+                    f"agreement {lo['agreement']:.4f}, speedup {lo['speedup']:.2f}x "
+                    f"({time.time() - t0:.0f}s)")
+                emit("trained_la8_acceptance_low", lo["acceptance"],
+                     unit="tokens/forward", vs=lo["acceptance"])
+                emit("trained_la8_speedup_low", lo["speedup"], unit="x",
+                     vs=lo["speedup"])
+            except Exception as e:
+                log(f"trained lookahead low band failed ({type(e).__name__}: {e})")
+
+    # --- fast-mode latency rows (secondary; quantized KV trades bytes) ----
+    # lookahead amortizes one weight read + one KV sweep over every
+    # accepted token; random-weight acceptance is the degenerate best
+    # case (the face-grammar-trained bound is ~4.0 per row at window 8,
+    # tests/test_lookahead.py), so these are fast-mode secondaries.
+    # int4 KV packs two codes per byte (ops/kvcache.py), quartering the
+    # decode's dominant HBM stream; trained-350M token agreement is
+    # 1.0000 for every mode below (PERF.md r3). Long decodes run via the
+    # segmented PhaseRunner path under the ~60 s watchdog.
+    for attn, batch, la, wq, metric, label, est in (
+        ("pallas_int8", 16, 8, False, "mesh_latency_800f_int8_la8_b16",
+         "int8+lookahead W=8 B=16", 70),
+        ("pallas_int4", 24, 8, False, "mesh_latency_800f_int4_la8_b24",
+         "int4+lookahead W=8 B=24", 90),
+        ("pallas", 8, 8, False, "mesh_latency_800f_la8_b8",
+         "bf16+lookahead W=8 B=8", 60),
+        ("pallas_int8", 16, 0, False, "mesh_latency_800f_int8_b16",
+         "int8 KV B=16", 150),
+        ("pallas_int4", 64, 0, False, "mesh_latency_800f_int4_b64",
+         "int4 KV B=64", 420),
+    ):
+        if not fits(label, est):
+            continue
+        try:
+            runner_la = PhaseRunner(params, cfg, bucket=512, attn=attn,
+                                    lookahead=la, wq=wq,
+                                    early_exit=(la > 0))
+            per_la = run_config(runner_la, make_pc(batch), batch, label, gl)
+            emit(metric, per_la)
+        except Exception as e:
+            log(f"{label} failed ({type(e).__name__}: {e})")
 
     # --- examples/ folder with --mc (the 5th BASELINE config) -------------
     # watertight UDF grid at 2^7 + marching tetrahedra + sampling +
     # generate for both example meshes; the reference flags this as the
     # slow path ("several minutes" per batch on CPU, mesh_to_pc.py:36)
-    try:
-        from meshanything_tpu.runtime.pipeline import load_inputs
+    if fits("folder --mc", 60):
+        try:
+            from meshanything_tpu.runtime.pipeline import load_inputs
 
-        folder = [os.path.join(REF, "examples/wand.obj"),
-                  os.path.join(REF, "examples/screwdriver.obj")]
-        folder = [p for p in folder if os.path.exists(p)]
-        if folder:
-            t0 = time.time()
-            samples = load_inputs("mesh", folder, marching_cubes=True,
-                                  num_points=cfg.perceiver.num_points, seed=0)
-            t_pre = time.time() - t0
-            t0 = time.time()
-            for s in samples:
-                pc = jnp.asarray(np.asarray(s.pc_normal, np.float32)[None])
-                out = runner(pc)
-                jax.device_get(out.token_ids.ravel()[0])
-            t_gen = time.time() - t0
-            per = (t_pre + t_gen) / len(folder)
-            log(f"folder --mc: preprocess {t_pre:.1f}s + generate {t_gen:.1f}s "
-                f"for {len(folder)} meshes = {per:.1f}s/mesh "
-                f"(reference: 'several minutes' of mesh2sdf alone)")
-            emit("e2e_folder_mc", per, vs=180.0 / per)
-    except Exception as e:
-        log(f"folder --mc failed ({type(e).__name__}: {e})")
-
-    # --- serving round-trip ------------------------------------------------
-    try:
-        import threading
-        import urllib.request
-        from http.server import ThreadingHTTPServer
-
-        from meshanything_tpu.serving import ServingEngine, _make_handler
-
-        class _Adapter:
-            # PhaseRunner-shaped wrapper dropping the key (greedy bench)
-            def __call__(self, pc, sampling=False, key=None):
-                return runner(jnp.asarray(pc))
-
-        engine = ServingEngine(params, cfg, runner=_Adapter(),
-                               artifacts_dir="/tmp/bench_artifacts")
-        server = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(engine))
-        port = server.server_address[1]
-        threading.Thread(target=server.serve_forever, daemon=True).start()
-        wand = os.path.join(REF, "examples/wand.obj")
-        if os.path.exists(wand):
-            with open(wand, "rb") as fh:
-                body = fh.read()
-            req = urllib.request.Request(
-                f"http://127.0.0.1:{port}/generate", data=body, method="POST")
-            with urllib.request.urlopen(req) as r:   # warm the path
-                r.read()
-            t0 = time.time()
-            with urllib.request.urlopen(urllib.request.Request(
-                    f"http://127.0.0.1:{port}/generate", data=body, method="POST")) as r:
-                r.read()
-            emit("serving_roundtrip", time.time() - t0)
-        server.shutdown()
-    except Exception as e:
-        log(f"serving config failed ({type(e).__name__}: {e})")
+            folder = [os.path.join(REF, "examples/wand.obj"),
+                      os.path.join(REF, "examples/screwdriver.obj")]
+            folder = [p for p in folder if os.path.exists(p)]
+            if folder:
+                t0 = time.time()
+                samples = load_inputs("mesh", folder, marching_cubes=True,
+                                      num_points=cfg.perceiver.num_points, seed=0)
+                t_pre = time.time() - t0
+                t0 = time.time()
+                for s in samples:
+                    pc = jnp.asarray(np.asarray(s.pc_normal, np.float32)[None])
+                    out = runner(pc)
+                    jax.device_get(out.token_ids.ravel()[0])
+                t_gen = time.time() - t0
+                per = (t_pre + t_gen) / len(folder)
+                log(f"folder --mc: preprocess {t_pre:.1f}s + generate {t_gen:.1f}s "
+                    f"for {len(folder)} meshes = {per:.1f}s/mesh "
+                    f"(reference: 'several minutes' of mesh2sdf alone)")
+                emit("e2e_folder_mc", per, vs=180.0 / per)
+        except Exception as e:
+            log(f"folder --mc failed ({type(e).__name__}: {e})")
 
     # --- serving under concurrent load (dynamic micro-batching) ------------
     # 8 concurrent engine-level requests coalesce into ONE padded B=8
-    # decode launch (runtime/batching.py) — reuses the B=1/B=8 programs
-    # the headline sections already compiled. Reference serves strictly
+    # decode launch (runtime/batching.py). Reference serves strictly
     # one request at a time (app.py).
-    try:
-        import threading
-
-        from meshanything_tpu.geometry import load_mesh
-        from meshanything_tpu.runtime.batching import BatchingRunner
-        from meshanything_tpu.serving import ServingEngine
-
-        wand = os.path.join(REF, "examples/wand.obj")
-        if os.path.exists(wand):
-            m = load_mesh(wand)
-            batched = BatchingRunner(runner, batch_sizes=(1, 2, 4, 8),
-                                     max_wait_s=4.0)
-            engine_b = ServingEngine(params, cfg, runner=batched,
-                                     artifacts_dir="/tmp/bench_artifacts")
-            nreq = 8
-            done = [None] * nreq
-            t0 = time.time()
-            threads = [threading.Thread(target=lambda i=i: done.__setitem__(
-                i, engine_b.generate_from_mesh(m.vertices, m.faces, seed=0,
-                                               render="off",
-                                               export_artifacts=False)))
-                       for i in range(nreq)]
-            for t in threads:
-                t.start()
-            for t in threads:
-                t.join(timeout=600)
-            if all(r is not None for r in done):
-                per = (time.time() - t0) / nreq
-                log(f"batched serving: {nreq} concurrent requests, "
-                    f"{batched.batch_calls} launches, {per:.2f}s/request")
-                emit("serving_batched_8x", per)
-            else:
-                log(f"batched serving incomplete: "
-                    f"{sum(r is None for r in done)}/{nreq} requests failed")
-            batched.close()
-    except Exception as e:
-        log(f"batched serving failed ({type(e).__name__}: {e})")
-
-    # --- fast modes (secondary: int8 KV trades exactness) ------------------
-    try:
-        runner16 = PhaseRunner(params, cfg, bucket=512, attn="pallas_int8",
-                               early_exit=False)
-        pc16 = jnp.asarray(rng.normal(size=(16, cfg.perceiver.num_points, 6)).astype(np.float32) * 0.5)
-        per16 = run_config(runner16, pc16, 16, "int8 KV B=16", gl)
-        emit("mesh_latency_800f_int8_b16", per16)
-    except Exception as e:
-        log(f"int8 B=16 failed ({type(e).__name__}: {e})")
-
-    # lookahead amortizes one weight read + one KV sweep over every
-    # accepted token; random-weight acceptance is the degenerate best
-    # case (the face-grammar-trained bound is ~4.0 per row at window 8,
-    # tests/test_lookahead.py), so these are fast-mode secondaries.
-    # wq (int8 W8A8 decode weights, ops/wquant.py) halves the weight
-    # traffic that dominates small-batch latency.
-    # int4 KV packs two codes per byte (ops/kvcache.py), quartering the
-    # decode's dominant HBM stream; trained-350M token agreement is
-    # 1.0000 for both int4 and int4+lookahead (PERF.md r3). Plain B=32
-    # runs via the segmented decode (5 x ~13 s programs under the ~60 s
-    # watchdog); lookahead stays within one program at B=24.
-    for attn, batch, la, wq, metric, label in (
-        ("pallas", 8, 8, False, "mesh_latency_800f_la8_b8", "bf16+lookahead W=8 B=8"),
-        ("pallas_int8", 16, 8, False, "mesh_latency_800f_int8_la8_b16", "int8+lookahead W=8 B=16"),
-        ("pallas_int4", 64, 0, False, "mesh_latency_800f_int4_b64", "int4 KV B=64"),
-        ("pallas_int4", 24, 8, False, "mesh_latency_800f_int4_la8_b24", "int4+lookahead W=8 B=24"),
-        ("pallas_int8", 1, 0, True, "mesh_latency_800f_w8a8_int8_b1", "w8a8+int8KV B=1"),
-        # best single-mesh latency (w8a8 at large batch/lookahead adds
-        # nothing — weights are already amortized there, PERF.md)
-        ("pallas_int8", 1, 8, True, "mesh_latency_800f_w8a8_int8_la8_b1", "w8a8+int8+lookahead W=8 B=1"),
-    ):
+    if fits("batched serving 8x", 150):
         try:
-            runner_la = PhaseRunner(params, cfg, bucket=512, attn=attn,
-                                    lookahead=la, wq=wq,
-                                    early_exit=(la > 0))
-            pcb = jnp.asarray(rng.normal(
-                size=(batch, cfg.perceiver.num_points, 6)).astype(np.float32) * 0.5)
-            per_la = run_config(runner_la, pcb, batch, label, gl)
-            emit(metric, per_la)
-        except Exception as e:
-            log(f"{label} failed ({type(e).__name__}: {e})")
+            import threading
 
-    # --- headline last (the driver parses the final line) ------------------
-    emit(headline[0], headline[1])
+            from meshanything_tpu.geometry import load_mesh
+            from meshanything_tpu.runtime.batching import BatchingRunner
+            from meshanything_tpu.serving import ServingEngine
+
+            wand = os.path.join(REF, "examples/wand.obj")
+            if os.path.exists(wand):
+                m = load_mesh(wand)
+                batched = BatchingRunner(runner, batch_sizes=(1, 2, 4, 8),
+                                         max_wait_s=4.0)
+                engine_b = ServingEngine(params, cfg, runner=batched,
+                                         artifacts_dir="/tmp/bench_artifacts")
+                nreq = 8
+                done = [None] * nreq
+                t0 = time.time()
+                threads = [threading.Thread(target=lambda i=i: done.__setitem__(
+                    i, engine_b.generate_from_mesh(m.vertices, m.faces, seed=0,
+                                                   render="off",
+                                                   export_artifacts=False)))
+                           for i in range(nreq)]
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join(timeout=600)
+                if all(r is not None for r in done):
+                    per = (time.time() - t0) / nreq
+                    log(f"batched serving: {nreq} concurrent requests, "
+                        f"{batched.batch_calls} launches, {per:.2f}s/request")
+                    emit("serving_batched_8x", per)
+                else:
+                    log(f"batched serving incomplete: "
+                        f"{sum(r is None for r in done)}/{nreq} requests failed")
+                batched.close()
+        except Exception as e:
+            log(f"batched serving failed ({type(e).__name__}: {e})")
+
+    log(f"bench done in {elapsed():.0f}s of {BUDGET_S:.0f}s budget")
+    # headline re-emitted last by the atexit hook (_final_emit)
 
 
 if __name__ == "__main__":

@@ -165,10 +165,17 @@ def train_on_grammar(cfg: MeshAnythingConfig, steps: int = 200, batch: int = 8,
 
 def measure_lookahead_acceptance(params, cfg: MeshAnythingConfig, pc: np.ndarray,
                                  window: int = 8, bucket: int = 32,
-                                 attn: str = "xla"):
+                                 attn: str = "xla",
+                                 max_accept: int | None = None):
     """Run plain greedy and lookahead decoding on the same conditions;
     return a dict with acceptance (tokens per window forward) and token
-    agreement vs plain greedy up to each row's eos."""
+    agreement vs plain greedy up to each row's eos.
+
+    max_accept caps the per-forward acceptance (bench.py's honest
+    acceptance-band knob, VERDICT r3 #5): the grammar probe model is
+    near-degenerate (accepts ~7.9/8), while the converged small model
+    bounds realistic acceptance at ~4.0 — capping re-creates that
+    regime on the full 350M wall-clock without changing the stream."""
     import jax.numpy as jnp
 
     from meshanything_tpu.models import meshanything as ma
@@ -188,7 +195,8 @@ def measure_lookahead_acceptance(params, cfg: MeshAnythingConfig, pc: np.ndarray
         bucket=bucket, attn=attn if attn != "xla" else "xla"))
     look, stats = generate_lookahead(
         params["opt"], cfg.opt, cond, max_new_tokens=cfg.generate_length,
-        window=window, bucket=bucket, attn=attn, return_stats=True)
+        window=window, bucket=bucket, attn=attn, return_stats=True,
+        max_accept=max_accept)
     look = np.asarray(look)
 
     emitted = int(np.sum(np.asarray(stats["emitted"]) - 1))  # prefill emits token 0
@@ -287,11 +295,16 @@ def get_trained_350m(steps: int = 600, batch: int = 4, n_max_triangles: int = 10
 
 
 def trained_lookahead_bench(window: int = 8, bucket: int = 512, seed: int = 0,
-                            cache: str | None = None):
+                            cache: str | None = None,
+                            max_accept: int | None = None):
     """The bench-facing trained-weights lookahead measurement (VERDICT
     r2 next #1): acceptance + token agreement on HELD-OUT grammar
     conditions, plus jitted wall-clock speedup vs plain greedy with the
-    SAME trained bf16 weights. Returns a plain dict for bench.py."""
+    SAME trained bf16 weights. Returns a plain dict for bench.py.
+
+    max_accept: cap per-forward acceptance to measure the LOW end of
+    the acceptance band (VERDICT r3 #5) — e.g. 4, the converged-model
+    bound — with the same weights and wall-clock methodology."""
     import time
 
     import jax
@@ -306,7 +319,8 @@ def trained_lookahead_bench(window: int = 8, bucket: int = 512, seed: int = 0,
     held_pc, _, _ = make_grammar_batch(cfg, np.random.default_rng(seed + 99), 2, k=5)
     attn = "pallas" if jax.default_backend() == "tpu" else "xla"
     stats = measure_lookahead_acceptance(
-        params, cfg, held_pc, window=window, bucket=bucket, attn=attn)
+        params, cfg, held_pc, window=window, bucket=bucket, attn=attn,
+        max_accept=max_accept)
 
     pcj = jnp.asarray(held_pc, jnp.bfloat16)
     pf = per_mod.encode_latents(params["perceiver"], cfg.perceiver, pcj)
@@ -317,7 +331,7 @@ def trained_lookahead_bench(window: int = 8, bucket: int = 512, seed: int = 0,
         p, cfg.opt, c, max_new_tokens=cfg.generate_length, bucket=bucket, attn=attn))
     gen_look = jax.jit(lambda p, c: generate_lookahead(
         p, cfg.opt, c, max_new_tokens=cfg.generate_length,
-        window=window, bucket=bucket, attn=attn))
+        window=window, bucket=bucket, attn=attn, max_accept=max_accept))
 
     def timed(fn):
         out = fn(params["opt"], cond)

@@ -21,6 +21,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: torch-oracle parity tests — the long tail of the suite. "
+        "Smoke tier (VERDICT r3 #8): pytest -m 'not slow' (<10 min); "
+        "the full suite including the oracles is ~35 min.")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

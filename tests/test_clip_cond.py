@@ -10,6 +10,8 @@ import jax.numpy as jnp
 
 from meshanything_tpu.models import clip_cond as cc
 
+pytestmark = pytest.mark.slow  # torch-oracle tier; smoke = -m 'not slow'
+
 TCFG = cc.CLIPTextConfig(vocab_size=99, width=32, layers=2, heads=4,
                          max_positions=12, projection_dim=24, eos_token_id=98)
 VCFG = cc.CLIPVisionConfig(image_size=16, patch_size=4, width=32, layers=2,

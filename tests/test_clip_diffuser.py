@@ -14,6 +14,8 @@ from meshanything_tpu.models import clip_diffuser as cd
 from meshanything_tpu.models import diffusion as dm
 from meshanything_tpu.models import perceiver as per_mod
 
+pytestmark = pytest.mark.slow  # torch-oracle tier; smoke = -m 'not slow'
+
 PCFG = PerceiverConfig(num_latents=8, embed_dim=8, width=48, heads=4,
                        num_encoder_layers=1, num_decoder_layers=1, num_points=32)
 VCFG = cc.CLIPVisionConfig(image_size=16, patch_size=4, width=32, layers=1,

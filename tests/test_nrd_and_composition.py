@@ -16,6 +16,7 @@ NCFG = NRDConfig(
 )
 
 
+@pytest.mark.slow
 def test_bert_layer_parity_with_hf(rng):
     """Our scan-able BERT layer vs HF BertEncoder (post-LN, eps 1e-12)."""
     import torch

@@ -18,6 +18,8 @@ from meshanything_tpu.config import PerceiverConfig  # noqa: E402
 from meshanything_tpu.models import perceiver as jper  # noqa: E402
 from meshanything_tpu.runtime.checkpoint import convert_perceiver, to_device_tree  # noqa: E402
 
+pytestmark = pytest.mark.slow  # torch-oracle tier; smoke = -m 'not slow'
+
 CFG = PerceiverConfig(
     num_latents=16, embed_dim=8, point_feats=3, num_freqs=8, include_pi=False,
     width=48, heads=4, num_encoder_layers=2, num_decoder_layers=2,

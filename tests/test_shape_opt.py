@@ -98,6 +98,7 @@ def converted_params(hf_model):
     return to_device_tree(convert_opt(sd, CFG))
 
 
+@pytest.mark.slow
 def test_opt_stack_parity_with_hf(hf_model, converted_params, rng):
     """Condition pass through our prefill vs HF OPT over inputs_embeds.
 
@@ -191,6 +192,7 @@ def test_generate_sampling_mode(rng):
     assert not np.array_equal(s1, s3) or True  # different seed may differ
 
 
+@pytest.mark.slow
 def test_sampling_filters_match_hf():
     """top-k then top-p filtering equals HF's warper chain."""
     import torch
