@@ -251,6 +251,27 @@ def unconditional_text_ids(cfg: CLIPTextConfig, batch: int, bos: int = 49406) ->
     return ids.at[:, 0].set(bos)
 
 
+def load_text_templates(category: str = "shape") -> list:
+    """CLIP prompt-ensemble templates — the data file backing the
+    reference's conditional text encoders (miche/michelangelo/data/
+    templates.json, consumed by encoder_factory.py's text embedders).
+    Returns the raw ``"a photo of a {}."``-style format strings."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "data", "templates.json")
+    with open(path) as fh:
+        return list(json.load(fh)[category])
+
+
+def expand_text_templates(label: str, category: str = "shape") -> list:
+    """Fill one class label into every template — the prompt ensemble a
+    CLIP text tower averages over (reference encoder_factory.py usage
+    of templates.json)."""
+    return [t.format(label) for t in load_text_templates(category)]
+
+
 # ---------------------------------------------------------------------------
 # HF CLIPModel state-dict converters
 

@@ -8,7 +8,8 @@ setup(
         "autoregressive artist-mesh generation"
     ),
     packages=find_packages(include=["meshanything_tpu", "meshanything_tpu.*"]),
-    package_data={"meshanything_tpu.native": ["*.cpp", "*.sh", "*.so"]},
+    package_data={"meshanything_tpu.native": ["*.cpp", "*.sh", "*.so"],
+                  "meshanything_tpu": ["data/*.json"]},
     python_requires=">=3.10",
     install_requires=[
         "jax",

@@ -17,13 +17,13 @@ import jax.numpy as jnp  # noqa: E402
 from meshanything_tpu.config import small_test_config  # noqa: E402
 from meshanything_tpu.models import meshanything as ma  # noqa: E402
 from meshanything_tpu.runtime.checkpoint import (  # noqa: E402
-
-pytestmark = pytest.mark.slow  # torch-oracle tier; smoke = -m 'not slow'
     convert_meshanything,
     load_orbax,
     save_orbax,
     to_device_tree,
 )
+
+pytestmark = pytest.mark.slow  # torch-oracle tier; smoke = -m 'not slow'
 
 CFG = small_test_config(n_max_triangles=2)
 

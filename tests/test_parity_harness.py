@@ -102,3 +102,29 @@ def test_parity_selftest_end_to_end(tmp_path):
     # both artifact OBJs were written
     assert os.path.exists(tmp_path / "synthetic_reference.obj")
     assert os.path.exists(tmp_path / "synthetic_ours.obj")
+
+
+def test_parity_selftest_fast_mode(tmp_path):
+    """--fast-modes runs the production PhaseRunner tiers against the
+    torch oracle stream (VERDICT r3 #7: the day-one real-weights run
+    must adjudicate the shipping surface). fast_preset = the --fast
+    stack (int8 KV + lookahead + w8a8) composed at small scale."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run(
+        [sys.executable, TOOL, "--selftest", "--out_dir", str(tmp_path),
+         "--fast-modes", "fast_preset"],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stdout + "\n" + proc.stderr
+    lines = [json.loads(ln) for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    exact = [r for r in lines if "ok" in r]
+    fast = [r for r in lines if r.get("fast_mode") == "fast_preset"]
+    assert exact and exact[0]["ok"] is True
+    assert fast, proc.stdout
+    assert fast[0]["tokens_compared"] > 0
+    # f32 + tiny random weights: quantization can flip argmax near-ties,
+    # so gate loosely on "the machinery tracks the oracle", not 1.0
+    # (the trained-350M probe is the 1.0000 evidence, PERF.md r3)
+    assert fast[0]["token_agreement"] >= 0.5, fast[0]
+    assert "PARITY VERDICT: PASS" in proc.stdout

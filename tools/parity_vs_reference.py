@@ -385,6 +385,44 @@ def run_ours(params, cfg, pc_normal: np.ndarray, bucket: int):
     return np.asarray(out.token_ids), np.asarray(out.face_coords)
 
 
+# The shipping fast tiers (VERDICT r3 #7: the day-one real-weights run
+# must adjudicate the full serving surface, not only the exact path).
+# Each runs the SAME fixtures through the production PhaseRunner with
+# that tier's knobs; on CPU the Pallas kernels run in interpret mode.
+FAST_MODES = {
+    "int8_kv": dict(attn="pallas_int8", lookahead=0, wq=False),
+    "int4_kv": dict(attn="pallas_int4", lookahead=0, wq=False),
+    "lookahead8": dict(attn="pallas", lookahead=8, wq=False),
+    "w8a8": dict(attn="xla", lookahead=0, wq=True),
+    # the --fast preset (cli.apply_fast_preset): all three composed
+    "fast_preset": dict(attn="pallas_int8", lookahead=8, wq=True),
+}
+
+
+def run_ours_mode(params, cfg, pc_normal: np.ndarray, bucket: int, mode: dict):
+    """One fixture through the production PhaseRunner at a fast tier."""
+    import jax.numpy as jnp
+
+    from meshanything_tpu.runtime.phases import PhaseRunner
+
+    runner = PhaseRunner(params, cfg, bucket=bucket, early_exit=True, **mode)
+    out = runner(jnp.asarray(pc_normal, jnp.float32))
+    return np.asarray(out.token_ids), np.asarray(out.face_coords)
+
+
+def token_agreement(ref_raw: np.ndarray, our_raw: np.ndarray, eos: int):
+    """Per-row agreement up to and including the reference stream's
+    first eos (beyond it the two stacks legitimately differ in pad
+    filler: HF pads with pad_id, our buffers stay eos-prefilled)."""
+    agree = total = 0
+    for row in range(ref_raw.shape[0]):
+        hits = np.where(ref_raw[row] == eos)[0]
+        limit = int(hits[0]) + 1 if len(hits) else ref_raw.shape[1]
+        agree += int((ref_raw[row, :limit] == our_raw[row, :limit]).sum())
+        total += limit
+    return agree / max(total, 1), total
+
+
 def compare(name, ref_raw, ref_coords, our_raw, our_coords, out_dir,
             coord_tol=1e-4):
     """Diff token streams, coords, and postprocessed OBJ bytes; returns
@@ -490,6 +528,14 @@ def main(argv=None):
                     help="input files; default: the three shipped fixtures")
     ap.add_argument("--selftest", action="store_true",
                     help="scaled-down random-weight end-to-end check (no ckpt)")
+    ap.add_argument("--fast-modes", nargs="*", default=None, metavar="MODE",
+                    help="also run these fast tiers through the production "
+                         "PhaseRunner and report per-mode token agreement vs "
+                         f"the torch oracle stream (choices: {sorted(FAST_MODES)}; "
+                         "bare flag = all). Fast-tier agreement is reported, "
+                         "not gated: quantized/reordered arithmetic may flip "
+                         "argmax near-ties, so the threshold is a per-model "
+                         "judgement (trained-350M probe: 1.0000, PERF.md r3).")
     ap.add_argument("--n_max_triangles", type=int, default=None)
     ap.add_argument("--out_dir", default="/tmp/parity_out")
     ap.add_argument("--bucket", type=int, default=512)
@@ -575,7 +621,24 @@ def main(argv=None):
         results.append(res)
         print(json.dumps(res), flush=True)
 
-    ok = all(r["ok"] for r in results)
+        if args.fast_modes is not None:
+            modes = args.fast_modes or sorted(FAST_MODES)
+            bad = [m for m in modes if m not in FAST_MODES]
+            if bad:
+                ap.error(f"unknown fast modes {bad}; choices: {sorted(FAST_MODES)}")
+            eos = cfg.opt.eos_token_id
+            for m in modes:
+                print(f"[{name}] fast mode {m}...", flush=True)
+                fm_raw, _fm_coords = run_ours_mode(
+                    params, cfg, pc, args.bucket, FAST_MODES[m])
+                agr, total = token_agreement(ref_raw, fm_raw, eos)
+                fm_res = {"fixture": name, "fast_mode": m,
+                          "token_agreement": round(agr, 6),
+                          "tokens_compared": total}
+                results.append(fm_res)
+                print(json.dumps(fm_res), flush=True)
+
+    ok = all(r["ok"] for r in results if "ok" in r)
     print("PARITY VERDICT:", "PASS" if ok else "FAIL", flush=True)
     return 0 if ok else 1
 
