@@ -63,8 +63,9 @@ def _flash_decode_kernel(
     base_ref,           # SMEM (B,) int32 — per-row confirmed kv rows
     layer_ref,          # SMEM (1,) int32
     # inputs
-    qmat_ref,           # VMEM (1, W*H, H*D) — block-diagonal queries
-    *refs,              # kv_hbm[, scale_hbm], o_ref, scratch...
+    qmat_ref,           # VMEM (1, W*H, H*D) block-diagonal queries — or,
+                        # grouped, (1, G, W*2, 128) head-pair blocks
+    *refs,              # kv_hbm[, scale_hbm][, win refs], o_ref, scratch...
     chunk: int,
     scale: float,
     num_heads: int,
@@ -72,12 +73,40 @@ def _flash_decode_kernel(
     quantized: bool,
     bits: int,
     depth: int,
+    grouped: bool = False,
+    windowed: bool = False,
+    mm_s8: bool = False,
 ):
+    refs = list(refs)
+    # mm_s8 (quantized paths): contract the int8/int4 CODES directly on
+    # the MXU s8 path (s8xs8->s32 runs at 2x bf16 throughput on v5e and
+    # skips the code->bf16 VPU cast). Queries arrive pre-quantized with
+    # per-row scales (qs_ref); probabilities are re-quantized per row
+    # before p.V. Adds ~0.4-0.8% relative noise on top of the tier's
+    # own code error — revalidate agreement per model
+    # (tools/trained_agreement_probe.py).
+    qs_ref = refs.pop(0) if mm_s8 else None
+    kv_hbm = refs.pop(0)
+    scale_hbm = refs.pop(0) if quantized else None
+    if windowed:
+        # lookahead window K/V arrive as VMEM inputs (same codes as the
+        # cache writes) instead of being scattered into the cache first:
+        # the kernel folds them as one extra causal tile, and the cache
+        # write happens ONCE per forward after the layer scan
+        # (models/lookahead.py) — removing the per-layer per-row
+        # dynamic_update_slice storm that made the window forward
+        # dispatch-bound (measured 5.2 ms of the 11.25 ms low-context
+        # forward at int4 B=24, tools/la_dispatch_probe.py).
+        win_k_ref = refs.pop(0)
+        win_v_ref = refs.pop(0)
+        win_ks_ref = refs.pop(0) if quantized else None
+        win_vs_ref = refs.pop(0) if quantized else None
+    o_ref, k_buf, v_buf = refs[0], refs[1], refs[2]
     if quantized:
-        kv_hbm, scale_hbm, o_ref, k_buf, v_buf, ks_buf, vs_buf, sem = refs
+        ks_buf, vs_buf, sem = refs[3], refs[4], refs[5]
     else:
-        kv_hbm, o_ref, k_buf, v_buf, sem = refs
-        scale_hbm = ks_buf = vs_buf = None
+        ks_buf = vs_buf = None
+        sem = refs[3]
 
     # Matmul operand dtype = the query dtype (bf16 in production). The
     # kernel is COMPUTE-bound once the KV stream is quantized (the
@@ -90,6 +119,8 @@ def _flash_decode_kernel(
     # formulation up to accumulation order.
     mm_dtype = qmat_ref.dtype
 
+    code_dtype = jnp.int8 if mm_s8 else mm_dtype
+
     def load_kv(buf_slot):
         # bits=4: nibble-split + lane-aligned concat (the packing
         # contract of ops/kvcache.py puts column j's pair at j + HD/2,
@@ -98,15 +129,16 @@ def _flash_decode_kernel(
             raw = buf_slot.astype(jnp.int32)
             hi = jax.lax.shift_right_arithmetic(raw, 4)
             lo = jnp.bitwise_xor(jnp.bitwise_and(raw, 15), 8) - 8
-            return jnp.concatenate([lo, hi], axis=-1).astype(mm_dtype)
-        return buf_slot.astype(mm_dtype)
+            return jnp.concatenate([lo, hi], axis=-1).astype(code_dtype)
+        return buf_slot.astype(code_dtype)
 
     b = pl.program_id(0)
     layer = layer_ref[0]
     base = base_ref[b]
     # query w of this row may see base + w + 1 rows; the widest is the
-    # last query
-    num_chunks = pl.cdiv(base + window, chunk)
+    # last query. In windowed mode the cache sweep covers only the
+    # confirmed history [0, base) — the window rows are VMEM inputs.
+    num_chunks = pl.cdiv(base, chunk) if windowed else pl.cdiv(base + window, chunk)
 
     def get_dma(slot, idx):
         span = pl.ds(idx * chunk, chunk)
@@ -128,15 +160,109 @@ def _flash_decode_kernel(
             for dma in get_dma(pre % depth, pre):
                 dma.start()
 
-    qmat = qmat_ref[0]                                            # (W*H, HD)
-    wh, hd = qmat.shape
+    qmat = qmat_ref[0]                           # (W*H, HD) | (G*W*2, 128)
+    if grouped:
+        # Head-pair grouping (VERDICT r3 #4): D=64 heads are packed two
+        # per 128-lane tile, so the block-diagonal FLOP inflation drops
+        # from H× to 2× — per chunk the logits matmul shrinks from one
+        # (W*H, HD)x(HD, CHUNK) pass to G statically-unrolled
+        # (W*2, 128)x(128, CHUNK) passes (G = H/2), and p.V shrinks
+        # symmetrically. Row r = g*(W*2) + w*2 + j is query w of head
+        # 2g+j, embedded in lane block j; everything stays 2D
+        # (sublane-aligned static slices — Mosaic rejects batched
+        # dot_generals with mismatched batch-dim positions).
+        rows_n, _ = qmat.shape                   # (G*W*2, 128)
+        g_cnt = num_heads // 2
+        wg = rows_n // g_cnt                     # W*2
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (rows_n, chunk), 0)
+        w_of_row = (r_iota % wg) // 2
+        acc_shape = (rows_n, 128)
+        stat_shape = (rows_n, 128)
+    else:
+        wh, hd = qmat.shape
+        w_of_row = jax.lax.broadcasted_iota(jnp.int32, (wh, chunk), 0) // num_heads
+        acc_shape = (wh, hd)
+        stat_shape = (wh, 128)
 
     # per logits-row kv visibility
-    w_of_row = jax.lax.broadcasted_iota(jnp.int32, (wh, chunk), 0) // num_heads
-    cur_of_row = base + w_of_row + 1                              # (W*H, CHUNK)
+    cur_of_row = base + w_of_row + 1             # (rows, CHUNK)
+    # p.V matmul dtype: quantized tiers (already approximate by the
+    # cache codes, >=0.4% elementwise) run it in mm_dtype — the bf16
+    # rounding of p (2^-9 relative) is within the tier's noise and buys
+    # the native-MXU pass. The exact bf16 tiers keep p in f32 so their
+    # token streams are untouched.
+    lowp = quantized and mm_dtype != jnp.float32
+
+    def logits_of(k):
+        # k: (N, HD) loaded tile -> masked-input logits (rows, N)
+        if grouped:
+            tiles = [
+                jax.lax.dot_general(
+                    qmat[g * wg:(g + 1) * wg], k[:, g * 128:(g + 1) * 128],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                for g in range(g_cnt)
+            ]
+            return jnp.concatenate(tiles, axis=0) * scale        # (G*W2, N)
+        if mm_s8:
+            raw = jax.lax.dot_general(
+                qmat, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return raw.astype(jnp.float32) * (qs_ref[0][:, :1] * scale)
+        return jax.lax.dot_general(
+            qmat, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale          # (W*H, N)
+
+    def fold(carry, logits, v, vs=None):
+        # one online-softmax update with a masked logits tile and its
+        # value rows v (N, HD); vs: optional (1, N) V-scales applied to
+        # the probabilities (the no-transpose quantized-V contract)
+        acc, m_prev, l_prev = carry
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)          # (rows, 1)
+        m_new = jnp.maximum(m_prev[..., :1], m_cur)
+        p = jnp.exp(logits - m_new)                              # (rows, N)
+        corr = jnp.exp(m_prev[..., :1] - m_new)
+        l_new = corr * l_prev[..., :1] + jnp.sum(p, axis=-1, keepdims=True)
+        if vs is not None:
+            p = p * vs
+        if mm_s8:
+            # re-quantize the (V-scaled) probabilities per row and run
+            # p.V entirely in s8 codes; amax >= 1/127 is guaranteed (the
+            # row max exponentiates to 1), so ps never vanishes
+            ps = jnp.max(jnp.abs(p), axis=-1, keepdims=True) / 127.0
+            ps = jnp.maximum(ps, 1e-30)
+            p_s8 = jnp.clip(jnp.round(p / ps), -127, 127).astype(jnp.int8)
+            pv = jax.lax.dot_general(
+                p_s8, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32) * ps
+            return (
+                acc * corr + pv,
+                jnp.broadcast_to(m_new, stat_shape),
+                jnp.broadcast_to(l_new, stat_shape),
+            )
+        if grouped:
+            pm = p.astype(mm_dtype) if lowp else p
+            tiles = [
+                jnp.dot(pm[g * wg:(g + 1) * wg],
+                        (v[:, g * 128:(g + 1) * 128] if lowp
+                         else v[:, g * 128:(g + 1) * 128].astype(jnp.float32)),
+                        preferred_element_type=jnp.float32)
+                for g in range(g_cnt)
+            ]
+            pv = jnp.concatenate(tiles, axis=0)                  # (G*W2, 128)
+        elif lowp:
+            pv = jnp.dot(p.astype(mm_dtype), v,
+                         preferred_element_type=jnp.float32)     # (W*H, HD)
+        else:
+            pv = jnp.dot(p, v.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)     # (W*H, HD)
+        return (
+            acc * corr + pv,
+            jnp.broadcast_to(m_new, stat_shape),
+            jnp.broadcast_to(l_new, stat_shape),
+        )
 
     def body(i, carry):
-        acc, m_prev, l_prev = carry               # (WH,HD), (WH,128), (WH,128)
         slot = i % depth
 
         # issue the chunk depth-1 ahead into the slot freed by i-1
@@ -148,50 +274,45 @@ def _flash_decode_kernel(
         for dma in get_dma(slot, i):
             dma.wait()
 
-        k = load_kv(k_buf[slot])                                  # (CHUNK, HD)
-        v = load_kv(v_buf[slot])
-
-        logits = jax.lax.dot_general(
-            qmat, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale                                                 # (W*H, CHUNK)
+        logits = logits_of(load_kv(k_buf[slot]))
         if quantized:
-            logits = logits * ks_buf[slot]                        # (1, CHUNK) bcast
-        span = i * chunk + jax.lax.broadcasted_iota(jnp.int32, (wh, chunk), 1)
-        logits = jnp.where(span < cur_of_row, logits, NEG_INF)
-
-        m_cur = jnp.max(logits, axis=-1, keepdims=True)           # (W*H, 1)
-        m_new = jnp.maximum(m_prev[:, :1], m_cur)
-        p = jnp.exp(logits - m_new)                               # (W*H, CHUNK)
-        corr = jnp.exp(m_prev[:, :1] - m_new)
-        l_new = corr * l_prev[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-        if quantized:
-            p = p * vs_buf[slot]
-        # p.V matmul: quantized tiers (already approximate by the cache
-        # codes, >=0.4% elementwise) run it in mm_dtype — the bf16
-        # rounding of p (2^-9 relative) is within the tier's noise and
-        # buys the native-MXU pass. The exact bf16 tiers keep p in f32
-        # so their token streams are untouched.
-        if quantized and mm_dtype != jnp.float32:
-            pv = jnp.dot(p.astype(mm_dtype), v,
-                         preferred_element_type=jnp.float32)      # (W*H, HD)
-        else:
-            pv = jnp.dot(p, v.astype(jnp.float32),
-                         preferred_element_type=jnp.float32)      # (W*H, HD)
-        acc_new = acc * corr + pv
-        return (
-            acc_new,
-            jnp.broadcast_to(m_new, (wh, 128)),
-            jnp.broadcast_to(l_new, (wh, 128)),
-        )
+            logits = logits * ks_buf[slot]                       # (1, CHUNK) bcast
+        span = i * chunk + jax.lax.broadcasted_iota(
+            jnp.int32, w_of_row.shape, 1)
+        # windowed: the sweep covers confirmed history only — every
+        # query sees all of it; the causal structure lives in the
+        # window tile below
+        mask = (span < base) if windowed else (span < cur_of_row)
+        logits = jnp.where(mask, logits, NEG_INF)
+        return fold(carry, logits, load_kv(v_buf[slot]),
+                    vs=vs_buf[slot] if quantized else None)
 
     init = (
-        jnp.zeros((wh, hd), jnp.float32),
-        jnp.full((wh, 128), NEG_INF, jnp.float32),
-        jnp.zeros((wh, 128), jnp.float32),
+        jnp.zeros(acc_shape, jnp.float32),
+        jnp.full(stat_shape, NEG_INF, jnp.float32),
+        jnp.zeros(stat_shape, jnp.float32),
     )
-    acc, _m_fin, l_fin = jax.lax.fori_loop(0, num_chunks, body, init)
-    out = acc / jnp.maximum(l_fin[:, :1], 1e-30)
+    carry = jax.lax.fori_loop(0, num_chunks, body, init)
+
+    if windowed:
+        # fold the W window rows as one extra causal tile: query w of
+        # any head sees window rows 0..w (row 0 = the last confirmed
+        # token, whose kv slot the cache does not hold yet)
+        wl = logits_of(load_kv(win_k_ref[0]))                    # (rows, W)
+        if quantized:
+            wl = wl * win_ks_ref[0]                              # (1, W) bcast
+        rows_w = jax.lax.broadcasted_iota(
+            jnp.int32, (w_of_row.shape[0], window), 0)
+        rows_w = ((rows_w % wg) // 2) if grouped else (rows_w // num_heads)
+        cols_w = jax.lax.broadcasted_iota(
+            jnp.int32, (w_of_row.shape[0], window), 1)
+        wmask = cols_w <= rows_w
+        wl = jnp.where(wmask, wl, NEG_INF)
+        carry = fold(carry, wl, load_kv(win_v_ref[0]),
+                     vs=win_vs_ref[0] if quantized else None)
+
+    acc, _m_fin, l_fin = carry
+    out = acc / jnp.maximum(l_fin[..., :1], 1e-30)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -206,6 +327,10 @@ def _flash_decode(
     interpret: bool,
     bits: int = 8,
     depth: int = 2,
+    grouped: bool = False,
+    win_kv=None,                       # (wk, wv): (B, W, packed_hd) each
+    win_scales=None,                   # (wks, wvs): (B, 1, W) f32 each
+    mm_s8: bool = False,
 ) -> jax.Array:
     """Shared pallas_call builder; returns (B, W, H, D).
 
@@ -214,7 +339,12 @@ def _flash_decode(
     in ops/kvcache.py) — quarters the KV stream vs bf16.
     depth: DMA pipeline depth (buffer slots per stream). 2 = classic
     double buffering; 3 keeps one extra chunk in flight to ride out
-    issue-latency gaps between chunks."""
+    issue-latency gaps between chunks.
+    grouped: head-pair matmul layout (D=64 heads packed two per 128-lane
+    tile) — cuts the block-diagonal FLOP inflation from H× to 2×.
+    win_kv: lookahead window K/V rows (same codes the caller will write
+    to the cache AFTER the forward) — the kernel folds them as one extra
+    causal tile so the cache scatter leaves the per-layer hot path."""
     b, w, h, d = q.shape
     hd = h * d
     quantized = kv_scales is not None
@@ -228,14 +358,43 @@ def _flash_decode(
         f"unquantized KV cache dtype {kv_values.dtype} must match the "
         f"query dtype {q.dtype} (the kernel loads cache tiles as the "
         "query dtype; a wider cache would silently lose precision)")
+    windowed = win_kv is not None
+    assert not mm_s8 or quantized, "mm_s8 applies to the quantized tiers"
+    assert not (mm_s8 and grouped), "mm_s8 and grouped are separate experiments"
     scale = 1.0 / math.sqrt(d)
 
-    # block-diagonal embedding per (w, h) pair
-    eye = jnp.eye(h, dtype=q.dtype)
-    qmat = jnp.einsum("ij,bwjd->bwijd", eye, q).reshape(b, w * h, hd)
+    if grouped:
+        assert d == 64 and h % 2 == 0, (h, d)
+        g = h // 2
+        # row r = w*2 + j of group g holds query (w, head 2g+j) in lane
+        # block j: qg[b, g, w*2+j, j*64:(j+1)*64] = q[b, w, 2g+j]
+        eye2 = jnp.eye(2, dtype=q.dtype)
+        q6 = q.reshape(b, w, g, 2, d)
+        qmat = jnp.einsum("jk,bwgjd->bgwjkd", eye2, q6).reshape(b, g * w * 2, 128)
+        qspec = pl.BlockSpec((1, g * w * 2, 128), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        out_shape = (b, g * w * 2, 128)
+    else:
+        # block-diagonal embedding per (w, h) pair
+        eye = jnp.eye(h, dtype=q.dtype)
+        qmat = jnp.einsum("ij,bwjd->bwijd", eye, q).reshape(b, w * h, hd)
+        qspec = pl.BlockSpec((1, w * h, hd), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        out_shape = (b, w * h, hd)
+
+    qs_in = None
+    if mm_s8:
+        # pre-quantize the block-diagonal queries per row (each row has
+        # one head's 64 values; symmetric s8). The per-row scale rides a
+        # small broadcast VMEM input the kernel folds into the logits.
+        qf = qmat.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+        qs = jnp.maximum(amax, 1e-30) / 127.0
+        qmat = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
+        qs_in = jnp.broadcast_to(qs, qs.shape[:-1] + (128,)).astype(jnp.float32)
 
     in_specs = [
-        pl.BlockSpec((1, w * h, hd), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        qspec,
         pl.BlockSpec(memory_space=pltpu.HBM),
     ]
     scratch = [
@@ -248,6 +407,11 @@ def _flash_decode(
         qmat,
         kv_values,
     ]
+    if mm_s8:
+        in_specs.insert(1, pl.BlockSpec(
+            (1, qs_in.shape[1], 128), lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM))
+        inputs.insert(3, qs_in)
     if quantized:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
         scratch += [
@@ -255,26 +419,50 @@ def _flash_decode(
             pltpu.VMEM((depth, 1, chunk), jnp.float32),
         ]
         inputs.append(kv_scales)
+    if windowed:
+        wk, wv = win_kv
+        assert wk.shape == (b, w, packed_hd), (wk.shape, b, w, packed_hd)
+        assert wk.dtype == kv_values.dtype, (wk.dtype, kv_values.dtype)
+        win_spec = pl.BlockSpec((1, w, packed_hd), lambda i, *_: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        in_specs += [win_spec, win_spec]
+        inputs += [wk, wv]
+        if quantized:
+            wks, wvs = win_scales
+            assert wks.shape == (b, 1, w), (wks.shape, b, w)
+            ws_spec = pl.BlockSpec((1, 1, w), lambda i, *_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)
+            in_specs += [ws_spec, ws_spec]
+            inputs += [wks, wvs]
     scratch.append(pltpu.SemaphoreType.DMA((depth, 4 if quantized else 2)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, w * h, hd), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1,) + out_shape[1:],
+            lambda i, *_: (i,) + (0,) * (len(out_shape) - 1),
+            memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
     )
 
     kernel = functools.partial(
         _flash_decode_kernel, chunk=chunk, scale=scale,
         num_heads=h, window=w, quantized=quantized, bits=bits, depth=depth,
+        grouped=grouped, windowed=windowed, mm_s8=mm_s8,
     )
     out_full = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, w * h, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.bfloat16 if mm_s8 and q.dtype == jnp.int8 else q.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(*inputs)
+    if grouped:
+        # out_full[b, g*W2 + w*2+j, j*64:(j+1)*64] -> (b, w, 2g+j, d)
+        out6 = out_full.reshape(b, g, w, 2, 2, d)
+        diag = out6[:, :, :, jnp.arange(2), jnp.arange(2), :]     # (b, g, w, 2, d)
+        return jnp.moveaxis(diag, 2, 1).reshape(b, w, h, d)
     # extract the h-th D-block of row (w, h)
     out5 = out_full.reshape(b, w, h, h, d)
     return out5[:, :, jnp.arange(h), jnp.arange(h), :].reshape(b, w, h, d)
@@ -292,6 +480,7 @@ def decode_attention_impl(
     *,
     chunk: int = 512,
     interpret: bool = False,
+    grouped: bool = False,
 ) -> jax.Array:
     """Single-query cached attention. Plain (un-jitted) invocation for
     embedding inside larger compiled programs (the decode scan);
@@ -308,15 +497,15 @@ def decode_attention_impl(
     b = q.shape[0]
     base = jnp.broadcast_to(jnp.asarray(cur_len, jnp.int32) - 1, (b,))
     out = _flash_decode(q[:, None], kv_cache, None, layer, base,
-                        chunk=chunk, interpret=interpret)
+                        chunk=chunk, interpret=interpret, grouped=grouped)
     return out[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret", "grouped"))
 def decode_attention(q, kv_cache, layer, cur_len, *, chunk: int = 512,
-                     interpret: bool = False):
+                     interpret: bool = False, grouped: bool = False):
     return decode_attention_impl(q, kv_cache, layer, cur_len, chunk=chunk,
-                                 interpret=interpret)
+                                 interpret=interpret, grouped=grouped)
 
 
 def decode_attention_mq_impl(
@@ -328,12 +517,20 @@ def decode_attention_mq_impl(
     *,
     chunk: int = 512,
     interpret: bool = False,
+    grouped: bool = False,
+    win_kv=None,
 ) -> jax.Array:
     """Multi-query flash-decoding for lookahead windows: W queries per
     row share ONE streaming sweep of the live context. Returns
-    (B, W, H, D)."""
+    (B, W, H, D).
+
+    win_kv: (wk, wv) window K/V rows (B, W, H*D) — fused-append mode:
+    the kernel folds them as one causal tile and the sweep covers only
+    the confirmed history [0, base_lens[b]); the caller writes the rows
+    into the cache once per forward, after the layer scan."""
     return _flash_decode(q, kv_cache, None, layer, base_lens,
-                         chunk=chunk, interpret=interpret)
+                         chunk=chunk, interpret=interpret, grouped=grouped,
+                         win_kv=win_kv)
 
 
 def decode_attention_int8_impl(
@@ -345,6 +542,8 @@ def decode_attention_int8_impl(
     *,
     chunk: int = 512,
     interpret: bool = False,
+    grouped: bool = False,
+    mm_s8: bool = False,
 ) -> jax.Array:
     """int8-cache flash-decoding: halves the dominant HBM traffic of the
     full-length decode (PERF.md bottleneck model) for <1% attention
@@ -352,7 +551,8 @@ def decode_attention_int8_impl(
     b = q.shape[0]
     base = jnp.broadcast_to(jnp.asarray(cur_len, jnp.int32) - 1, (b,))
     out = _flash_decode(q[:, None], kv_values, kv_scales, layer, base,
-                        chunk=chunk, interpret=interpret)
+                        chunk=chunk, interpret=interpret, grouped=grouped,
+                        mm_s8=mm_s8)
     return out[:, 0]
 
 
@@ -365,12 +565,17 @@ def decode_attention_mq_int8_impl(
     *,
     chunk: int = 512,
     interpret: bool = False,
+    grouped: bool = False,
+    win_kv=None,
+    win_scales=None,
+    mm_s8: bool = False,
 ) -> jax.Array:
     """Multi-query + int8 cache: composes the two decode accelerators
     (Jacobi lookahead windows over a quantized cache) — round-1's
     missing combination."""
     return _flash_decode(q, kv_values, kv_scales, layer, base_lens,
-                         chunk=chunk, interpret=interpret)
+                         chunk=chunk, interpret=interpret, grouped=grouped,
+                         win_kv=win_kv, win_scales=win_scales, mm_s8=mm_s8)
 
 
 def decode_attention_int4_impl(
@@ -382,6 +587,8 @@ def decode_attention_int4_impl(
     *,
     chunk: int = 512,
     interpret: bool = False,
+    grouped: bool = False,
+    mm_s8: bool = False,
 ) -> jax.Array:
     """int4-cache flash-decoding: QUARTERS the dominant KV traffic
     (2.73 TB/mesh exact, PERF.md bottleneck model). Packing contract in
@@ -390,7 +597,8 @@ def decode_attention_int4_impl(
     b = q.shape[0]
     base = jnp.broadcast_to(jnp.asarray(cur_len, jnp.int32) - 1, (b,))
     out = _flash_decode(q[:, None], kv_values, kv_scales, layer, base,
-                        chunk=chunk, interpret=interpret, bits=4)
+                        chunk=chunk, interpret=interpret, bits=4,
+                        grouped=grouped, mm_s8=mm_s8)
     return out[:, 0]
 
 
@@ -403,11 +611,17 @@ def decode_attention_mq_int4_impl(
     *,
     chunk: int = 512,
     interpret: bool = False,
+    grouped: bool = False,
+    win_kv=None,
+    win_scales=None,
+    mm_s8: bool = False,
 ) -> jax.Array:
     """Multi-query + int4 cache: lookahead windows over the
     quarter-width cache — the KV-bound large-batch fast path."""
     return _flash_decode(q, kv_values, kv_scales, layer, base_lens,
-                         chunk=chunk, interpret=interpret, bits=4)
+                         chunk=chunk, interpret=interpret, bits=4,
+                         grouped=grouped, win_kv=win_kv, win_scales=win_scales,
+                         mm_s8=mm_s8)
 
 
 def decode_attention_reference(q, kv_cache, layer, cur_len):

@@ -317,3 +317,169 @@ def test_decode_attention_mq_int4_bf16_query(rng):
             ref[bi, w] = np.asarray(r[0], np.float32)
     np.testing.assert_allclose(np.asarray(out, np.float32), ref,
                                atol=2.5e-2, rtol=2.5e-2)
+
+
+def test_decode_attention_grouped_matches_flat(rng):
+    """Head-pair grouped matmul layout (VERDICT r3 #4: cuts the
+    block-diagonal FLOP inflation from Hx to 2x) — must be numerically
+    identical math to the flat layout on the same inputs, single-query
+    and multi-query, bf16 and int4."""
+    from meshanything_tpu.ops.decode_attention import (
+        decode_attention_impl,
+        decode_attention_mq_impl,
+        decode_attention_mq_int4_impl,
+    )
+    from meshanything_tpu.ops.kvcache import quantize_rows_int4
+
+    B, H, D, S, L = 2, 4, 64, 256, 2
+    q = jnp.asarray(rng.normal(size=(B, H, D)).astype(np.float32))
+    kv = jnp.asarray(rng.normal(size=(2, L, B, S, H * D)).astype(np.float32) * 0.3)
+    for layer, cur in ((0, 7), (1, 200)):
+        ref = decode_attention_reference(q, kv, layer, cur)
+        out = decode_attention_impl(q, kv, layer, cur, chunk=128,
+                                    interpret=True, grouped=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+    # multi-query grouped (f32) vs per-query reference
+    W = 3
+    qw = jnp.asarray(rng.normal(size=(B, W, H, D)).astype(np.float32))
+    base = jnp.asarray([5, 120], jnp.int32)
+    out = decode_attention_mq_impl(qw, kv, 1, base, chunk=128,
+                                   interpret=True, grouped=True)
+    for bi in range(B):
+        for w in range(W):
+            r = decode_attention_reference(
+                qw[bi:bi + 1, w], kv[:, :, bi:bi + 1], 1, int(base[bi]) + w + 1)
+            np.testing.assert_allclose(np.asarray(out[bi, w]), np.asarray(r[0]),
+                                       atol=2e-5, rtol=1e-4,
+                                       err_msg=f"b={bi} w={w}")
+
+    # int4 grouped MQ vs flat int4 MQ (identical codes -> near-identical;
+    # bf16 queries exercise the low-precision p.V path)
+    qb = qw.astype(jnp.bfloat16)
+    values, scales = quantize_rows_int4(kv)
+    scales = jnp.transpose(scales, (0, 1, 2, 4, 3))
+    flat = decode_attention_mq_int4_impl(qb, values, scales, 1, base,
+                                         chunk=128, interpret=True)
+    grp = decode_attention_mq_int4_impl(qb, values, scales, 1, base,
+                                        chunk=128, interpret=True, grouped=True)
+    np.testing.assert_allclose(np.asarray(grp, np.float32),
+                               np.asarray(flat, np.float32),
+                               atol=1e-2, rtol=1e-2)
+
+
+def test_decode_attention_mq_windowed_matches_incache(rng):
+    """Fused window append (VERDICT r3 #3): passing the window K/V rows
+    as kernel inputs (sweep covers history only, window folds as one
+    causal tile) must equal the classic formulation where the rows are
+    scattered into the cache first."""
+    from meshanything_tpu.ops.decode_attention import (
+        decode_attention_mq_impl,
+        decode_attention_mq_int4_impl,
+        decode_attention_mq_int8_impl,
+    )
+    from meshanything_tpu.ops.kvcache import (
+        quantize_rows,
+        quantize_rows_int4,
+    )
+
+    B, W, H, D, S, L = 2, 4, 4, 64, 256, 2
+    q = jnp.asarray(rng.normal(size=(B, W, H, D)).astype(np.float32))
+    kv = rng.normal(size=(2, L, B, S, H * D)).astype(np.float32) * 0.3
+    base = np.asarray([33, 100], np.int32)
+    layer = 1
+    # window rows live at cache positions [base, base+W) in the classic
+    # formulation; extract them as the VMEM window inputs
+    wk = np.stack([kv[0, layer, bi, base[bi]:base[bi] + W] for bi in range(B)])
+    wv = np.stack([kv[1, layer, bi, base[bi]:base[bi] + W] for bi in range(B)])
+    # zero the window region in the fused-mode cache: the kernel must
+    # not read it (history sweep stops at base)
+    kv_hist = kv.copy()
+    for bi in range(B):
+        kv_hist[:, layer, bi, base[bi]:base[bi] + W] = 7.7  # poison
+
+    classic = decode_attention_mq_impl(
+        q, jnp.asarray(kv), layer, jnp.asarray(base), chunk=64, interpret=True)
+    fused = decode_attention_mq_impl(
+        q, jnp.asarray(kv_hist), layer, jnp.asarray(base), chunk=64,
+        interpret=True, win_kv=(jnp.asarray(wk), jnp.asarray(wv)))
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(classic),
+                               atol=2e-5, rtol=1e-4)
+
+    # grouped + windowed composes
+    fused_g = decode_attention_mq_impl(
+        q, jnp.asarray(kv_hist), layer, jnp.asarray(base), chunk=64,
+        interpret=True, win_kv=(jnp.asarray(wk), jnp.asarray(wv)), grouped=True)
+    np.testing.assert_allclose(np.asarray(fused_g), np.asarray(classic),
+                               atol=2e-5, rtol=1e-4)
+
+    # quantized variants: quantize the full cache (classic) and compare
+    # against history cache + quantized window inputs
+    for qrows, impl in ((quantize_rows, decode_attention_mq_int8_impl),
+                        (quantize_rows_int4, decode_attention_mq_int4_impl)):
+        values, scales = qrows(jnp.asarray(kv))
+        scales_t = jnp.transpose(scales, (0, 1, 2, 4, 3))
+        classic_q = impl(q, values, scales_t, layer, jnp.asarray(base),
+                         chunk=64, interpret=True)
+        # window rows re-quantized standalone give the SAME codes
+        # (per-row symmetric quantization is row-local)
+        wkq, wks = qrows(jnp.asarray(wk))
+        wvq, wvs = qrows(jnp.asarray(wv))
+        fused_q = impl(
+            q, values, scales_t, layer, jnp.asarray(base), chunk=64,
+            interpret=True,
+            win_kv=(wkq, wvq),
+            win_scales=(jnp.transpose(wks, (0, 2, 1)),
+                        jnp.transpose(wvs, (0, 2, 1))))
+        np.testing.assert_allclose(np.asarray(fused_q, np.float32),
+                                   np.asarray(classic_q, np.float32),
+                                   atol=2e-5, rtol=1e-4,
+                                   err_msg=str(impl.__name__))
+
+
+def test_decode_attention_mm_s8_close_to_flat(rng):
+    """mm_s8 (codes contracted on the MXU s8 path with re-quantized
+    queries/probabilities) vs the standard quantized path: adds only
+    the q/p int8 rounding (~1%) on top of the tier's code error."""
+    from meshanything_tpu.ops.decode_attention import (
+        decode_attention_int4_impl,
+        decode_attention_int8_impl,
+        decode_attention_mq_int4_impl,
+    )
+    from meshanything_tpu.ops.kvcache import quantize_rows, quantize_rows_int4
+
+    B, H, D, S, L = 2, 4, 64, 256, 2
+    q = jnp.asarray(rng.normal(size=(B, H, D)).astype(np.float32)).astype(jnp.bfloat16)
+    kv = jnp.asarray(rng.normal(size=(2, L, B, S, H * D)).astype(np.float32) * 0.3)
+    for qrows, impl in ((quantize_rows, decode_attention_int8_impl),
+                        (quantize_rows_int4, decode_attention_int4_impl)):
+        values, scales = qrows(kv)
+        scales_t = jnp.transpose(scales, (0, 1, 2, 4, 3))
+        for cur in (7, 200):
+            flat = impl(q, values, scales_t, 1, cur, chunk=128, interpret=True)
+            s8 = impl(q, values, scales_t, 1, cur, chunk=128, interpret=True,
+                      mm_s8=True)
+            np.testing.assert_allclose(
+                np.asarray(s8, np.float32), np.asarray(flat, np.float32),
+                atol=4e-2, rtol=4e-2, err_msg=f"{impl.__name__} cur={cur}")
+
+    # composes with the windowed MQ path
+    W = 3
+    qw = jnp.asarray(rng.normal(size=(B, W, H, D)).astype(np.float32)).astype(jnp.bfloat16)
+    base = jnp.asarray([5, 120], jnp.int32)
+    values, scales = quantize_rows_int4(kv)
+    scales_t = jnp.transpose(scales, (0, 1, 2, 4, 3))
+    wk = jnp.asarray(rng.normal(size=(B, W, H * D)).astype(np.float32) * 0.3)
+    wkq, wks = quantize_rows_int4(wk)
+    wvq, wvs = quantize_rows_int4(wk * 0.7)
+    win_scales = (jnp.transpose(wks, (0, 2, 1)), jnp.transpose(wvs, (0, 2, 1)))
+    flat = decode_attention_mq_int4_impl(
+        qw, values, scales_t, 1, base, chunk=128, interpret=True,
+        win_kv=(wkq, wvq), win_scales=win_scales)
+    s8 = decode_attention_mq_int4_impl(
+        qw, values, scales_t, 1, base, chunk=128, interpret=True,
+        win_kv=(wkq, wvq), win_scales=win_scales, mm_s8=True)
+    np.testing.assert_allclose(np.asarray(s8, np.float32),
+                               np.asarray(flat, np.float32),
+                               atol=4e-2, rtol=4e-2)
