@@ -76,6 +76,7 @@ def _flash_decode_kernel(
     grouped: bool = False,
     windowed: bool = False,
     mm_s8: bool = False,
+    fused_dma: bool = False,
 ):
     refs = list(refs)
     # mm_s8 (quantized paths): contract the int8/int4 CODES directly on
@@ -101,12 +102,47 @@ def _flash_decode_kernel(
         win_v_ref = refs.pop(0)
         win_ks_ref = refs.pop(0) if quantized else None
         win_vs_ref = refs.pop(0) if quantized else None
-    o_ref, k_buf, v_buf = refs[0], refs[1], refs[2]
-    if quantized:
-        ks_buf, vs_buf, sem = refs[3], refs[4], refs[5]
+    if fused_dma:
+        # K and V tiles (and both scale rows) arrive in ONE strided DMA
+        # each: halves the per-chunk DMA count — at int4 B=16/ctx 7168 a
+        # call issues ~900 copies whose fixed issue cost rivals the
+        # transfer time of the 4x-shrunk packed stream.
+        if quantized:
+            o_ref, kv_buf, sc_buf, sem = refs[0], refs[1], refs[2], refs[3]
+        else:
+            o_ref, kv_buf, sem = refs[0], refs[1], refs[2]
+            sc_buf = None
+
+        def k_at(s):
+            return kv_buf[s, 0]
+
+        def v_at(s):
+            return kv_buf[s, 1]
+
+        def ks_at(s):
+            return sc_buf[s, 0:1]
+
+        def vs_at(s):
+            return sc_buf[s, 1:2]
     else:
-        ks_buf = vs_buf = None
-        sem = refs[3]
+        o_ref, k_buf, v_buf = refs[0], refs[1], refs[2]
+        if quantized:
+            ks_buf, vs_buf, sem = refs[3], refs[4], refs[5]
+        else:
+            ks_buf = vs_buf = None
+            sem = refs[3]
+
+        def k_at(s):
+            return k_buf[s]
+
+        def v_at(s):
+            return v_buf[s]
+
+        def ks_at(s):
+            return ks_buf[s]
+
+        def vs_at(s):
+            return vs_buf[s]
 
     # Matmul operand dtype = the query dtype (bf16 in production). The
     # kernel is COMPUTE-bound once the KV stream is quantized (the
@@ -142,6 +178,14 @@ def _flash_decode_kernel(
 
     def get_dma(slot, idx):
         span = pl.ds(idx * chunk, chunk)
+        if fused_dma:
+            copies = [pltpu.make_async_copy(
+                kv_hbm.at[:, layer, b, span], kv_buf.at[slot], sem.at[slot, 0])]
+            if quantized:
+                copies.append(pltpu.make_async_copy(
+                    scale_hbm.at[:, layer, b, 0, span], sc_buf.at[slot],
+                    sem.at[slot, 1]))
+            return copies
         copies = [
             pltpu.make_async_copy(kv_hbm.at[0, layer, b, span], k_buf.at[slot], sem.at[slot, 0]),
             pltpu.make_async_copy(kv_hbm.at[1, layer, b, span], v_buf.at[slot], sem.at[slot, 1]),
@@ -274,9 +318,9 @@ def _flash_decode_kernel(
         for dma in get_dma(slot, i):
             dma.wait()
 
-        logits = logits_of(load_kv(k_buf[slot]))
+        logits = logits_of(load_kv(k_at(slot)))
         if quantized:
-            logits = logits * ks_buf[slot]                       # (1, CHUNK) bcast
+            logits = logits * ks_at(slot)                        # (1, CHUNK) bcast
         span = i * chunk + jax.lax.broadcasted_iota(
             jnp.int32, w_of_row.shape, 1)
         # windowed: the sweep covers confirmed history only — every
@@ -284,8 +328,8 @@ def _flash_decode_kernel(
         # window tile below
         mask = (span < base) if windowed else (span < cur_of_row)
         logits = jnp.where(mask, logits, NEG_INF)
-        return fold(carry, logits, load_kv(v_buf[slot]),
-                    vs=vs_buf[slot] if quantized else None)
+        return fold(carry, logits, load_kv(v_at(slot)),
+                    vs=vs_at(slot) if quantized else None)
 
     init = (
         jnp.zeros(acc_shape, jnp.float32),
@@ -331,6 +375,7 @@ def _flash_decode(
     win_kv=None,                       # (wk, wv): (B, W, packed_hd) each
     win_scales=None,                   # (wks, wvs): (B, 1, W) f32 each
     mm_s8: bool = False,
+    fused_dma: bool = False,
 ) -> jax.Array:
     """Shared pallas_call builder; returns (B, W, H, D).
 
@@ -397,10 +442,13 @@ def _flash_decode(
         qspec,
         pl.BlockSpec(memory_space=pltpu.HBM),
     ]
-    scratch = [
-        pltpu.VMEM((depth, chunk, packed_hd), kv_values.dtype),
-        pltpu.VMEM((depth, chunk, packed_hd), kv_values.dtype),
-    ]
+    if fused_dma:
+        scratch = [pltpu.VMEM((depth, 2, chunk, packed_hd), kv_values.dtype)]
+    else:
+        scratch = [
+            pltpu.VMEM((depth, chunk, packed_hd), kv_values.dtype),
+            pltpu.VMEM((depth, chunk, packed_hd), kv_values.dtype),
+        ]
     inputs = [
         jnp.asarray(base_lens, jnp.int32).reshape(b),
         jnp.asarray(layer, jnp.int32).reshape(1),
@@ -414,10 +462,13 @@ def _flash_decode(
         inputs.insert(3, qs_in)
     if quantized:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
-        scratch += [
-            pltpu.VMEM((depth, 1, chunk), jnp.float32),
-            pltpu.VMEM((depth, 1, chunk), jnp.float32),
-        ]
+        if fused_dma:
+            scratch.append(pltpu.VMEM((depth, 2, chunk), jnp.float32))
+        else:
+            scratch += [
+                pltpu.VMEM((depth, 1, chunk), jnp.float32),
+                pltpu.VMEM((depth, 1, chunk), jnp.float32),
+            ]
         inputs.append(kv_scales)
     if windowed:
         wk, wv = win_kv
@@ -434,7 +485,10 @@ def _flash_decode(
                                    memory_space=pltpu.VMEM)
             in_specs += [ws_spec, ws_spec]
             inputs += [wks, wvs]
-    scratch.append(pltpu.SemaphoreType.DMA((depth, 4 if quantized else 2)))
+    if fused_dma:
+        scratch.append(pltpu.SemaphoreType.DMA((depth, 2 if quantized else 1)))
+    else:
+        scratch.append(pltpu.SemaphoreType.DMA((depth, 4 if quantized else 2)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -451,6 +505,7 @@ def _flash_decode(
         _flash_decode_kernel, chunk=chunk, scale=scale,
         num_heads=h, window=w, quantized=quantized, bits=bits, depth=depth,
         grouped=grouped, windowed=windowed, mm_s8=mm_s8,
+        fused_dma=fused_dma,
     )
     out_full = pl.pallas_call(
         kernel,
@@ -589,6 +644,7 @@ def decode_attention_int4_impl(
     interpret: bool = False,
     grouped: bool = False,
     mm_s8: bool = False,
+    fused_dma: bool = False,
 ) -> jax.Array:
     """int4-cache flash-decoding: QUARTERS the dominant KV traffic
     (2.73 TB/mesh exact, PERF.md bottleneck model). Packing contract in
@@ -598,7 +654,7 @@ def decode_attention_int4_impl(
     base = jnp.broadcast_to(jnp.asarray(cur_len, jnp.int32) - 1, (b,))
     out = _flash_decode(q[:, None], kv_values, kv_scales, layer, base,
                         chunk=chunk, interpret=interpret, bits=4,
-                        grouped=grouped, mm_s8=mm_s8)
+                        grouped=grouped, mm_s8=mm_s8, fused_dma=fused_dma)
     return out[:, 0]
 
 

@@ -483,3 +483,23 @@ def test_decode_attention_mm_s8_close_to_flat(rng):
     np.testing.assert_allclose(np.asarray(s8, np.float32),
                                np.asarray(flat, np.float32),
                                atol=4e-2, rtol=4e-2)
+
+
+def test_decode_attention_fused_dma_matches_flat(rng):
+    """fused_dma: K+V (and both scale rows) arrive in one strided DMA
+    each — numerically identical to the split-DMA path."""
+    from meshanything_tpu.ops.decode_attention import decode_attention_int4_impl
+    from meshanything_tpu.ops.kvcache import quantize_rows_int4
+
+    B, H, D, S, L = 2, 4, 64, 256, 2
+    q = jnp.asarray(rng.normal(size=(B, H, D)).astype(np.float32)).astype(jnp.bfloat16)
+    kv = jnp.asarray(rng.normal(size=(2, L, B, S, H * D)).astype(np.float32) * 0.3)
+    values, scales = quantize_rows_int4(kv)
+    scales_t = jnp.transpose(scales, (0, 1, 2, 4, 3))
+    for cur in (7, 200):
+        a = decode_attention_int4_impl(q, values, scales_t, 1, cur,
+                                       chunk=128, interpret=True)
+        b = decode_attention_int4_impl(q, values, scales_t, 1, cur,
+                                       chunk=128, interpret=True, fused_dma=True)
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))

@@ -55,7 +55,9 @@ def main():
     n_iter = 600
     results = {}
     for name, kw in (("flat", {}), ("grouped", {"grouped": True}),
-                     ("mm_s8", {"mm_s8": True})):
+                     ("mm_s8", {"mm_s8": True}),
+                     ("fused_dma", {"fused_dma": True}),
+                     ("fused_dma+s8", {"fused_dma": True, "mm_s8": True})):
         @jax.jit
         def sweep(q, v, s, _kw=kw):
             def body(i, acc):
