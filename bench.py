@@ -360,17 +360,23 @@ def main():
     # decode's dominant HBM stream; trained-350M token agreement is
     # 1.0000 for every mode below (PERF.md r3). Long decodes run via the
     # segmented PhaseRunner path under the ~60 s watchdog.
+    # r4 reference points (PERF.md): int4+la8 B=24 0.877 / B=48 0.844,
+    # int8+la8 B=16 0.921, bf16+la8 B=8 1.567 — the fused window append
+    # + grouped MQ matmuls removed the old dispatch overhead, and batch
+    # scaling is monotone through B=48.
     for attn, batch, la, wq, metric, label, est in (
-        ("pallas_int8", 16, 8, False, "mesh_latency_800f_int8_la8_b16",
-         "int8+lookahead W=8 B=16", 70),
         ("pallas_int4", 24, 8, False, "mesh_latency_800f_int4_la8_b24",
-         "int4+lookahead W=8 B=24", 90),
+         "int4+lookahead W=8 B=24", 70),
+        ("pallas_int8", 16, 8, False, "mesh_latency_800f_int8_la8_b16",
+         "int8+lookahead W=8 B=16", 60),
+        ("pallas_int4", 48, 8, False, "mesh_latency_800f_int4_la8_b48",
+         "int4+lookahead W=8 B=48 (throughput max)", 110),
         ("pallas", 8, 8, False, "mesh_latency_800f_la8_b8",
          "bf16+lookahead W=8 B=8", 60),
         ("pallas_int8", 16, 0, False, "mesh_latency_800f_int8_b16",
-         "int8 KV B=16", 150),
+         "int8 KV B=16", 120),
         ("pallas_int4", 64, 0, False, "mesh_latency_800f_int4_b64",
-         "int4 KV B=64", 420),
+         "int4 KV B=64", 320),
     ):
         if not fits(label, est):
             continue

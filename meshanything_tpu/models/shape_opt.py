@@ -382,9 +382,13 @@ def _opt_layer_decode(cfg: ShapeOPTConfig, kv_slice_len: int, attn: str = "xla",
 
             impl = (decode_attention_int8_impl if attn == "pallas_int8"
                     else decode_attention_int4_impl)
+            # pipelined: one continuous DMA schedule over all (row,
+            # chunk) pairs — bit-identical to the grid-per-row kernel
+            # (tests/test_ops.py::test_decode_attention_pipelined_...)
+            # and ~5% faster at production shapes (PERF.md r4)
             o = impl(
                 q[:, 0], kv[0], kv[1], layer_idx, write_pos + 1,
-                chunk=chunk, interpret=interpret,
+                chunk=chunk, interpret=interpret, pipelined=True,
             )[:, None]
         elif attn == "pallas":
             from meshanything_tpu.ops.decode_attention import decode_attention_impl

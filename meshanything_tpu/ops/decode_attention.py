@@ -523,6 +523,212 @@ def _flash_decode(
     return out5[:, :, jnp.arange(h), jnp.arange(h), :].reshape(b, w, h, d)
 
 
+def _flash_decode_pipelined_kernel(
+    # scalar prefetch
+    base_ref,           # SMEM (B,) int32
+    layer_ref,          # SMEM (1,) int32
+    # inputs
+    qmat_ref,           # VMEM (B, H, H*D) block-diagonal queries (W=1)
+    *refs,              # kv_hbm[, scale_hbm], o_ref, kv_buf[, sc_buf], sem
+    chunk: int,
+    scale: float,
+    quantized: bool,
+    bits: int,
+    depth: int,
+    batch: int,
+):
+    """Single-query decode with ONE continuous DMA pipeline over the
+    flattened (row, chunk) schedule. The grid=(B,) kernel pays a fixed
+    ~16 µs per row (prologue stall + grid machinery — measured: B=1 is
+    28 µs/call at ctx 7168 where the byte floor is ~12 µs, and none of
+    chunk size / matmul dtype / DMA fusion moves it). Here rows share
+    the pipeline: while row r's tail chunks compute, row r+1's first
+    chunks are already in flight, so the per-row fixed cost is paid
+    once per call instead of B times."""
+    refs = list(refs)
+    kv_hbm = refs.pop(0)
+    scale_hbm = refs.pop(0) if quantized else None
+    if quantized:
+        o_ref, kv_buf, sc_buf, sem = refs
+    else:
+        o_ref, kv_buf, sem = refs
+        sc_buf = None
+    mm_dtype = qmat_ref.dtype
+    layer = layer_ref[0]
+    rows = o_ref.shape[1]                       # H block-diag rows
+
+    def load(buf_slot):
+        if bits == 4:
+            raw = buf_slot.astype(jnp.int32)
+            hi = jax.lax.shift_right_arithmetic(raw, 4)
+            lo = jnp.bitwise_xor(jnp.bitwise_and(raw, 15), 8) - 8
+            return jnp.concatenate([lo, hi], axis=-1).astype(mm_dtype)
+        return buf_slot.astype(mm_dtype)
+
+    def nchunks(r):
+        rr = jnp.minimum(r, batch - 1)          # clamp for past-end cursors
+        return pl.cdiv(base_ref[rr] + 1, chunk)
+
+    def adv(r, c):
+        c2 = c + 1
+        wrap = c2 >= nchunks(r)
+        return jnp.where(wrap, r + 1, r), jnp.where(wrap, 0, c2)
+
+    def kv_copy(slot, r, c):
+        span = pl.ds(c * chunk, chunk)
+        return pltpu.make_async_copy(
+            kv_hbm.at[:, layer, r, span], kv_buf.at[slot], sem.at[slot, 0])
+
+    def sc_copy(slot, r, c):
+        span = pl.ds(c * chunk, chunk)
+        return pltpu.make_async_copy(
+            scale_hbm.at[:, layer, r, 0, span], sc_buf.at[slot], sem.at[slot, 1])
+
+    def issue(slot, r, c):
+        kv_copy(slot, r, c).start()
+        if quantized:
+            sc_copy(slot, r, c).start()
+
+    total = jax.lax.fori_loop(
+        0, batch, lambda r, a: a + nchunks(r), jnp.zeros((), jnp.int32))
+
+    # prologue: issue the first depth-1 schedule positions
+    def pro(i, rc):
+        r, c = rc
+
+        @pl.when(i < total)
+        def _():
+            issue(i % depth, r, c)
+
+        return adv(r, c)
+
+    ri0, ci0 = jax.lax.fori_loop(
+        0, depth - 1, pro, (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)))
+
+    neg = jnp.full((rows, 128), NEG_INF, jnp.float32)
+    zstat = jnp.zeros((rows, 128), jnp.float32)
+    zacc = jnp.zeros((rows, o_ref.shape[2]), jnp.float32)
+
+    def cond(carry):
+        return carry[0] < total
+
+    def body(carry):
+        t, r, c, ri, ci, acc, m_prev, l_prev = carry
+        slot = t % depth
+
+        @pl.when(t + depth - 1 < total)
+        def _():
+            issue((t + depth - 1) % depth, ri, ci)
+
+        ri2, ci2 = adv(ri, ci)
+
+        kv_copy(slot, r, c).wait()
+        if quantized:
+            sc_copy(slot, r, c).wait()
+
+        k = load(kv_buf[slot, 0])
+        v = load(kv_buf[slot, 1])
+        qmat_r = qmat_ref[r]                                     # (rows, HD)
+        logits = jax.lax.dot_general(
+            qmat_r, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if quantized:
+            logits = logits * sc_buf[slot, 0:1]
+        span = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (rows, chunk), 1)
+        logits = jnp.where(span < base_ref[r] + 1, logits, NEG_INF)
+
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev[:, :1], m_cur)
+        p = jnp.exp(logits - m_new)
+        corr = jnp.exp(m_prev[:, :1] - m_new)
+        l_new = corr * l_prev[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        if quantized:
+            p = p * sc_buf[slot, 1:2]
+        lowp = quantized and mm_dtype != jnp.float32
+        if lowp:
+            pv = jnp.dot(p.astype(mm_dtype), v, preferred_element_type=jnp.float32)
+        else:
+            pv = jnp.dot(p, v.astype(jnp.float32), preferred_element_type=jnp.float32)
+        acc_new = acc * corr + pv
+
+        last = c + 1 >= nchunks(r)
+
+        @pl.when(last)
+        def _():
+            o_ref[r] = (acc_new / jnp.maximum(l_new[:, :1], 1e-30)
+                        ).astype(o_ref.dtype)
+
+        keep = ~last
+        acc2 = jnp.where(keep, acc_new, zacc)
+        m2 = jnp.where(keep, jnp.broadcast_to(m_new, (rows, 128)), neg)
+        l2 = jnp.where(keep, jnp.broadcast_to(l_new, (rows, 128)), zstat)
+        r2, c2 = adv(r, c)
+        return (t + 1, r2, c2, ri2, ci2, acc2, m2, l2)
+
+    jax.lax.while_loop(cond, body, (
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32), ri0, ci0, zacc, neg, zstat))
+
+
+def _flash_decode_pipelined(
+    q: jax.Array,                      # (B, H, D)
+    kv_values: jax.Array,              # (2, L, B, S, packed_hd)
+    kv_scales,                         # (2, L, B, 1, S) f32, or None
+    layer: jax.Array,
+    cur_len: jax.Array,                # scalar or (B,)
+    *,
+    chunk: int,
+    interpret: bool,
+    bits: int = 8,
+    depth: int = 2,
+) -> jax.Array:
+    """Continuous-pipeline single-query builder; returns (B, H, D)."""
+    b, h, d = q.shape
+    hd = h * d
+    quantized = kv_scales is not None
+    packed_hd = hd // 2 if (quantized and bits == 4) else hd
+    assert kv_values.shape[-1] == packed_hd, (kv_values.shape, h, d, bits)
+    assert quantized or kv_values.dtype == q.dtype, (kv_values.dtype, q.dtype)
+    scale = 1.0 / math.sqrt(d)
+    base = jnp.broadcast_to(jnp.asarray(cur_len, jnp.int32) - 1, (b,))
+
+    eye = jnp.eye(h, dtype=q.dtype)
+    qmat = jnp.einsum("ij,bjd->bijd", eye, q).reshape(b, h, hd)
+
+    in_specs = [
+        pl.BlockSpec((b, h, hd), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+    ]
+    inputs = [base, jnp.asarray(layer, jnp.int32).reshape(1), qmat, kv_values]
+    scratch = [pltpu.VMEM((depth, 2, chunk, packed_hd), kv_values.dtype)]
+    if quantized:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        inputs.append(kv_scales)
+        scratch.append(pltpu.VMEM((depth, 2, chunk), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((depth, 2 if quantized else 1)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((b, h, hd), lambda i, *_: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+    kernel = functools.partial(
+        _flash_decode_pipelined_kernel, chunk=chunk, scale=scale,
+        quantized=quantized, bits=bits, depth=depth, batch=b,
+    )
+    out_full = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, hd), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(*inputs)
+    out4 = out_full.reshape(b, h, h, d)
+    return out4[:, jnp.arange(h), jnp.arange(h), :].reshape(b, h, d)
+
+
 # ---------------------------------------------------------------------------
 # public entry points (thin shape adapters over _flash_decode)
 
@@ -599,10 +805,14 @@ def decode_attention_int8_impl(
     interpret: bool = False,
     grouped: bool = False,
     mm_s8: bool = False,
+    pipelined: bool = False,
 ) -> jax.Array:
     """int8-cache flash-decoding: halves the dominant HBM traffic of the
     full-length decode (PERF.md bottleneck model) for <1% attention
     error (per-row symmetric scales)."""
+    if pipelined:
+        return _flash_decode_pipelined(q, kv_values, kv_scales, layer, cur_len,
+                                       chunk=chunk, interpret=interpret)
     b = q.shape[0]
     base = jnp.broadcast_to(jnp.asarray(cur_len, jnp.int32) - 1, (b,))
     out = _flash_decode(q[:, None], kv_values, kv_scales, layer, base,
@@ -645,11 +855,15 @@ def decode_attention_int4_impl(
     grouped: bool = False,
     mm_s8: bool = False,
     fused_dma: bool = False,
+    pipelined: bool = False,
 ) -> jax.Array:
     """int4-cache flash-decoding: QUARTERS the dominant KV traffic
     (2.73 TB/mesh exact, PERF.md bottleneck model). Packing contract in
     ops/kvcache.py::quantize_rows_int4; coarser than int8 — agreement
     must be re-validated per model (tools/trained_agreement_probe.py)."""
+    if pipelined:
+        return _flash_decode_pipelined(q, kv_values, kv_scales, layer, cur_len,
+                                       chunk=chunk, interpret=interpret, bits=4)
     b = q.shape[0]
     base = jnp.broadcast_to(jnp.asarray(cur_len, jnp.int32) - 1, (b,))
     out = _flash_decode(q[:, None], kv_values, kv_scales, layer, base,

@@ -503,3 +503,30 @@ def test_decode_attention_fused_dma_matches_flat(rng):
                                        chunk=128, interpret=True, fused_dma=True)
         np.testing.assert_array_equal(np.asarray(a, np.float32),
                                       np.asarray(b, np.float32))
+
+
+def test_decode_attention_pipelined_matches_flat(rng):
+    """Continuous-pipeline single-query kernel (one flattened
+    (row, chunk) DMA schedule) vs the grid-per-row kernel: identical
+    math, including per-row lengths that differ across the batch."""
+    from meshanything_tpu.ops.decode_attention import (
+        decode_attention_int4_impl,
+        decode_attention_int8_impl,
+    )
+    from meshanything_tpu.ops.kvcache import quantize_rows, quantize_rows_int4
+
+    B, H, D, S, L = 3, 4, 64, 256, 2
+    q = jnp.asarray(rng.normal(size=(B, H, D)).astype(np.float32)).astype(jnp.bfloat16)
+    kv = jnp.asarray(rng.normal(size=(2, L, B, S, H * D)).astype(np.float32) * 0.3)
+    for qrows, impl in ((quantize_rows, decode_attention_int8_impl),
+                        (quantize_rows_int4, decode_attention_int4_impl)):
+        values, scales = qrows(kv)
+        scales_t = jnp.transpose(scales, (0, 1, 2, 4, 3))
+        for cur in (jnp.int32(7), jnp.int32(200),
+                    jnp.asarray([3, 129, 255], jnp.int32)):
+            a = impl(q, values, scales_t, 1, cur, chunk=128, interpret=True)
+            b = impl(q, values, scales_t, 1, cur, chunk=128, interpret=True,
+                     pipelined=True)
+            np.testing.assert_array_equal(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                err_msg=f"{impl.__name__} cur={cur}")

@@ -57,7 +57,7 @@ def main():
     for name, kw in (("flat", {}), ("grouped", {"grouped": True}),
                      ("mm_s8", {"mm_s8": True}),
                      ("fused_dma", {"fused_dma": True}),
-                     ("fused_dma+s8", {"fused_dma": True, "mm_s8": True})):
+                     ("pipelined", {"pipelined": True})):
         @jax.jit
         def sweep(q, v, s, _kw=kw):
             def body(i, acc):
