@@ -305,52 +305,6 @@ def main():
         except Exception as e:
             log(f"floor probe failed ({type(e).__name__}: {e})")
 
-    # --- trained-weights lookahead (the honest exact-greedy claim) --------
-    # random-weight lookahead acceptance is the degenerate best case
-    # (VERDICT r1/r2); this trains (or loads a cached) 350M on the face
-    # grammar ON-CHIP and measures acceptance, token agreement and
-    # jitted wall-clock speedup with structured weights — and emits BOTH
-    # ends of the acceptance band (VERDICT r3 #5): the probe model's own
-    # ~7.9 and a max_accept=4 capped run matching the converged-model
-    # ~4.0 bound (PERF.md), so the record carries the band, not the
-    # best case.
-    from meshanything_tpu.training.synthetic_grammar import (
-        trained_lookahead_bench,
-    )
-
-    cache_default = "/tmp/grammar350m_s600b4n100lr0.001seed0.npz"
-    cache_path = os.environ.get("GRAMMAR_PROBE_CACHE", cache_default)
-    train_est = 250 if os.path.exists(cache_path) else 700
-    if fits("trained lookahead (350M grammar)", train_est):
-        try:
-            t0 = time.time()
-            st = trained_lookahead_bench(window=8, bucket=512)
-            log(f"trained lookahead: acceptance {st['acceptance']:.2f}, "
-                f"agreement {st['agreement']:.4f}, plain {st['t_plain']:.3f}s vs "
-                f"lookahead {st['t_look']:.3f}s over {st['plain_tokens']} tokens "
-                f"({time.time() - t0:.0f}s incl. train/compiles)")
-            emit("trained_la8_acceptance", st["acceptance"], unit="tokens/forward",
-                 vs=st["acceptance"])
-            emit("trained_la8_agreement", st["agreement"], unit="fraction",
-                 vs=st["agreement"])
-            emit("trained_la8_speedup", st["speedup"], unit="x", vs=st["speedup"])
-        except Exception as e:
-            log(f"trained lookahead failed ({type(e).__name__}: {e})")
-
-        if fits("trained lookahead LOW band (max_accept=4)", 180):
-            try:
-                t0 = time.time()
-                lo = trained_lookahead_bench(window=8, bucket=512, max_accept=4)
-                log(f"trained lookahead low band: acceptance {lo['acceptance']:.2f}, "
-                    f"agreement {lo['agreement']:.4f}, speedup {lo['speedup']:.2f}x "
-                    f"({time.time() - t0:.0f}s)")
-                emit("trained_la8_acceptance_low", lo["acceptance"],
-                     unit="tokens/forward", vs=lo["acceptance"])
-                emit("trained_la8_speedup_low", lo["speedup"], unit="x",
-                     vs=lo["speedup"])
-            except Exception as e:
-                log(f"trained lookahead low band failed ({type(e).__name__}: {e})")
-
     # --- fast-mode latency rows (secondary; quantized KV trades bytes) ----
     # lookahead amortizes one weight read + one KV sweep over every
     # accepted token; random-weight acceptance is the degenerate best
@@ -364,7 +318,20 @@ def main():
     # int8+la8 B=16 0.921, bf16+la8 B=8 1.567 — the fused window append
     # + grouped MQ matmuls removed the old dispatch overhead, and batch
     # scaling is monotone through B=48.
-    for attn, batch, la, wq, metric, label, est in (
+    def latency_rows(rows):
+        for attn, batch, la, wq, metric, label, est in rows:
+            if not fits(label, est):
+                continue
+            try:
+                runner_la = PhaseRunner(params, cfg, bucket=512, attn=attn,
+                                        lookahead=la, wq=wq,
+                                        early_exit=(la > 0))
+                per_la = run_config(runner_la, make_pc(batch), batch, label, gl)
+                emit(metric, per_la)
+            except Exception as e:
+                log(f"{label} failed ({type(e).__name__}: {e})")
+
+    latency_rows((
         ("pallas_int4", 24, 8, False, "mesh_latency_800f_int4_la8_b24",
          "int4+lookahead W=8 B=24", 70),
         ("pallas_int8", 16, 8, False, "mesh_latency_800f_int8_la8_b16",
@@ -373,21 +340,7 @@ def main():
          "int4+lookahead W=8 B=48 (throughput max)", 110),
         ("pallas", 8, 8, False, "mesh_latency_800f_la8_b8",
          "bf16+lookahead W=8 B=8", 60),
-        ("pallas_int8", 16, 0, False, "mesh_latency_800f_int8_b16",
-         "int8 KV B=16", 120),
-        ("pallas_int4", 64, 0, False, "mesh_latency_800f_int4_b64",
-         "int4 KV B=64", 320),
-    ):
-        if not fits(label, est):
-            continue
-        try:
-            runner_la = PhaseRunner(params, cfg, bucket=512, attn=attn,
-                                    lookahead=la, wq=wq,
-                                    early_exit=(la > 0))
-            per_la = run_config(runner_la, make_pc(batch), batch, label, gl)
-            emit(metric, per_la)
-        except Exception as e:
-            log(f"{label} failed ({type(e).__name__}: {e})")
+    ))
 
     # --- examples/ folder with --mc (the 5th BASELINE config) -------------
     # watertight UDF grid at 2^7 + marching tetrahedra + sampling +
@@ -461,6 +414,98 @@ def main():
                 batched.close()
         except Exception as e:
             log(f"batched serving failed ({type(e).__name__}: {e})")
+
+    # --- trained-weights lookahead (the honest exact-greedy claim) --------
+    # random-weight lookahead acceptance is the degenerate best case
+    # (VERDICT r1/r2); this trains (or loads a cached) 350M on the face
+    # grammar ON-CHIP and measures acceptance, token agreement and
+    # jitted wall-clock speedup with structured weights — and emits BOTH
+    # ends of the acceptance band (VERDICT r3 #5): the probe model's own
+    # ~7.9 and a max_accept=4 capped run matching the converged-model
+    # ~4.0 bound (PERF.md), so the record carries the band, not the
+    # best case.
+    #
+    # Deliberately LAST: this is the one section whose cost is dominated
+    # by non-preemptible on-chip training + fresh-program compiles (the
+    # r4 preflight measured >880 s post-training when the compile
+    # service was cold), so a stall here must not be able to starve the
+    # cheap warm latency rows above (that starvation is exactly what
+    # truncated BENCH_r03). When /tmp holds the grammar cache and the
+    # compile service is warm it costs ~250 s.
+    from meshanything_tpu.training.synthetic_grammar import (
+        TrainedLookaheadProbe,
+    )
+
+    cache_default = "/tmp/grammar350m_s600b4n100lr0.001seed0.npz"
+    cache_path = os.environ.get("GRAMMAR_PROBE_CACHE", cache_default)
+    train_est = 250 if os.path.exists(cache_path) else 700
+    if fits("trained lookahead (350M grammar)", train_est):
+        probe = None
+        try:
+            t0 = time.time()
+            probe = TrainedLookaheadProbe(window=8, bucket=512)
+            st = probe.run()
+            log(f"trained lookahead: acceptance {st['acceptance']:.2f}, "
+                f"agreement {st['agreement']:.4f}, plain {st['t_plain']:.3f}s vs "
+                f"lookahead {st['t_look']:.3f}s over {st['plain_tokens']} tokens "
+                f"({time.time() - t0:.0f}s incl. train/compiles)")
+            emit("trained_la8_acceptance", st["acceptance"], unit="tokens/forward",
+                 vs=st["acceptance"])
+            emit("trained_la8_agreement", st["agreement"], unit="fraction",
+                 vs=st["agreement"])
+            emit("trained_la8_speedup", st["speedup"], unit="x", vs=st["speedup"])
+        except Exception as e:
+            log(f"trained lookahead failed ({type(e).__name__}: {e})")
+
+        # the LOW band reuses the probe's loaded model + plain timing,
+        # so its marginal cost is one capped-lookahead compile + two
+        # passes (vs a full second probe, which BENCH preflights showed
+        # never fit the leftover budget)
+        if probe is not None and fits("trained lookahead LOW band (max_accept=4)", 120):
+            try:
+                t0 = time.time()
+                lo = probe.run(max_accept=4)
+                log(f"trained lookahead low band: acceptance {lo['acceptance']:.2f}, "
+                    f"agreement {lo['agreement']:.4f}, speedup {lo['speedup']:.2f}x "
+                    f"({time.time() - t0:.0f}s)")
+                emit("trained_la8_acceptance_low", lo["acceptance"],
+                     unit="tokens/forward", vs=lo["acceptance"])
+                emit("trained_la8_speedup_low", lo["speedup"], unit="x",
+                     vs=lo["speedup"])
+            except Exception as e:
+                log(f"trained lookahead low band failed ({type(e).__name__}: {e})")
+
+        # window-16 point of the sweep (PERF r4): on this (sharp) probe
+        # model acceptance is ~15.5/16 and speedup 10.7x — the
+        # single-request headroom case (--lookahead 16). Marginal cost:
+        # one W=16 lookahead compile + two passes on the shared probe.
+        if probe is not None and fits("trained lookahead W=16", 150):
+            try:
+                t0 = time.time()
+                w16 = probe.run(window=16)
+                log(f"trained lookahead W=16: acceptance {w16['acceptance']:.2f}, "
+                    f"agreement {w16['agreement']:.4f}, speedup {w16['speedup']:.2f}x "
+                    f"({time.time() - t0:.0f}s)")
+                emit("trained_la16_acceptance", w16["acceptance"],
+                     unit="tokens/forward", vs=w16["acceptance"])
+                emit("trained_la16_speedup", w16["speedup"], unit="x",
+                     vs=w16["speedup"])
+            except Exception as e:
+                log(f"trained lookahead W=16 failed ({type(e).__name__}: {e})")
+
+    # --- plain-quantized rows, dead last ------------------------------------
+    # These two are the most expensive secondary rows (the int4 B=64 row
+    # alone costs ~380 s: 131 s compile + 2 full 127 s runs) and are the
+    # least informative per second — both numbers are pinned in PERF.md
+    # (int8 B=16 2.85, int4 B=64 1.813 via tools/int4_latency_probe) and
+    # the lookahead rows above supersede them on both latency and
+    # throughput. They run only when everything else has already landed.
+    latency_rows((
+        ("pallas_int8", 16, 0, False, "mesh_latency_800f_int8_b16",
+         "int8 KV B=16", 120),
+        ("pallas_int4", 64, 0, False, "mesh_latency_800f_int4_b64",
+         "int4 KV B=64", 320),
+    ))
 
     log(f"bench done in {elapsed():.0f}s of {BUDGET_S:.0f}s budget")
     # headline re-emitted last by the atexit hook (_final_emit)

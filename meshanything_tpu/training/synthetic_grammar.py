@@ -294,64 +294,106 @@ def get_trained_350m(steps: int = 600, batch: int = 4, n_max_triangles: int = 10
     return params, cfg
 
 
+class TrainedLookaheadProbe:
+    """Shared-state trained-weights lookahead probe for bench.py.
+
+    Loading the trained 350M, encoding the held-out grammar conditions,
+    and compiling+timing PLAIN greedy all happen once in __init__; each
+    ``run(max_accept)`` then pays only the lookahead side (one compile
+    of the capped variant + one stats pass + one timed pass). This is
+    what lets bench.py emit BOTH ends of the acceptance band (VERDICT
+    r3 #5) inside its wall-clock budget: the r4 preflights measured
+    293 s for a monolithic high-band pass, and the low band — which
+    re-did the load, the plain decode and the plain timing — was then
+    skipped 5 s short of its estimate."""
+
+    def __init__(self, window: int = 8, bucket: int = 512, seed: int = 0,
+                 cache: str | None = None):
+        import time
+
+        import jax
+        import jax.numpy as jnp
+
+        from meshanything_tpu.models import meshanything as ma
+        from meshanything_tpu.models import perceiver as per_mod
+        from meshanything_tpu.models import shape_opt as sopt
+
+        self.window, self.bucket = window, bucket
+        params, cfg = get_trained_350m(seed=seed, cache=cache)
+        self.params, self.cfg = params, cfg
+        held_pc, _, _ = make_grammar_batch(
+            cfg, np.random.default_rng(seed + 99), 2, k=5)
+        self.attn = "pallas" if jax.default_backend() == "tpu" else "xla"
+        dtype = params["opt"]["cond_embed"].dtype
+        pcj = jnp.asarray(held_pc, dtype)
+        pf = per_mod.encode_latents(params["perceiver"], cfg.perceiver, pcj)
+        self.cond = ma.process_point_feature(params, cfg, pf)
+        # params as jit ARGUMENTS (closure-captured weights ship 1.4 GB
+        # of constants through the remote compile service — HTTP 413)
+        gen_plain = jax.jit(lambda p, c: sopt.generate(
+            p, cfg.opt, c, max_new_tokens=cfg.generate_length,
+            bucket=bucket, attn=self.attn))
+        self.plain = np.asarray(gen_plain(params["opt"], self.cond))
+        t0 = time.time()
+        out = gen_plain(params["opt"], self.cond)
+        jax.device_get(np.asarray(out).ravel()[0])
+        self.t_plain = time.time() - t0
+
+    def run(self, max_accept: int | None = None, window: int | None = None):
+        """One band point: acceptance + agreement vs the shared plain
+        stream, and jitted lookahead wall-clock (same methodology as
+        the plain timing in __init__). The plain side is
+        window-independent, so sweeping window/max_accept through run()
+        reuses everything __init__ paid for."""
+        import time
+
+        import jax
+
+        from meshanything_tpu.models.lookahead import generate_lookahead
+
+        window = self.window if window is None else window
+        cfg, params = self.cfg, self.params
+        gen_look = jax.jit(lambda p, c: generate_lookahead(
+            p, cfg.opt, c, max_new_tokens=cfg.generate_length,
+            window=window, bucket=self.bucket, attn=self.attn,
+            max_accept=max_accept, return_stats=True))
+        look, stats = gen_look(params["opt"], self.cond)  # compile + stats
+        look = np.asarray(look)
+        t0 = time.time()
+        out, _ = gen_look(params["opt"], self.cond)
+        jax.device_get(np.asarray(out).ravel()[0])
+        t_look = time.time() - t0
+
+        emitted = int(np.sum(np.asarray(stats["emitted"]) - 1))
+        iters = max(int(np.asarray(stats["iterations"])), 1)
+        plain = self.plain
+        b = plain.shape[0]
+        agree, total = 0, 0
+        for row in range(b):
+            eos = np.where(plain[row] == cfg.opt.eos_token_id)[0]
+            limit = (eos[0] + 1) if len(eos) else plain.shape[1]
+            agree += int((look[row, :limit] == plain[row, :limit]).sum())
+            total += int(limit)
+        return {
+            "acceptance": emitted / (iters * b),
+            "agreement": agree / max(total, 1),
+            "t_plain": self.t_plain,
+            "t_look": t_look,
+            "speedup": self.t_plain / max(t_look, 1e-9),
+            "window": window,
+            "plain_tokens": total,
+        }
+
+
 def trained_lookahead_bench(window: int = 8, bucket: int = 512, seed: int = 0,
                             cache: str | None = None,
                             max_accept: int | None = None):
-    """The bench-facing trained-weights lookahead measurement (VERDICT
-    r2 next #1): acceptance + token agreement on HELD-OUT grammar
-    conditions, plus jitted wall-clock speedup vs plain greedy with the
-    SAME trained bf16 weights. Returns a plain dict for bench.py.
-
-    max_accept: cap per-forward acceptance to measure the LOW end of
-    the acceptance band (VERDICT r3 #5) — e.g. 4, the converged-model
-    bound — with the same weights and wall-clock methodology."""
-    import time
-
-    import jax
-    import jax.numpy as jnp
-
-    from meshanything_tpu.models import meshanything as ma
-    from meshanything_tpu.models import perceiver as per_mod
-    from meshanything_tpu.models import shape_opt as sopt
-    from meshanything_tpu.models.lookahead import generate_lookahead
-
-    params, cfg = get_trained_350m(seed=seed, cache=cache)
-    held_pc, _, _ = make_grammar_batch(cfg, np.random.default_rng(seed + 99), 2, k=5)
-    attn = "pallas" if jax.default_backend() == "tpu" else "xla"
-    stats = measure_lookahead_acceptance(
-        params, cfg, held_pc, window=window, bucket=bucket, attn=attn,
-        max_accept=max_accept)
-
-    pcj = jnp.asarray(held_pc, jnp.bfloat16)
-    pf = per_mod.encode_latents(params["perceiver"], cfg.perceiver, pcj)
-    cond = ma.process_point_feature(params, cfg, pf)
-    # params as jit ARGUMENTS (closure-captured weights ship 1.4 GB of
-    # constants through the remote compile service — HTTP 413)
-    gen_plain = jax.jit(lambda p, c: sopt.generate(
-        p, cfg.opt, c, max_new_tokens=cfg.generate_length, bucket=bucket, attn=attn))
-    gen_look = jax.jit(lambda p, c: generate_lookahead(
-        p, cfg.opt, c, max_new_tokens=cfg.generate_length,
-        window=window, bucket=bucket, attn=attn, max_accept=max_accept))
-
-    def timed(fn):
-        out = fn(params["opt"], cond)
-        jax.device_get(np.asarray(out).ravel()[0])
-        t0 = time.time()
-        out = fn(params["opt"], cond)
-        jax.device_get(np.asarray(out).ravel()[0])
-        return time.time() - t0
-
-    t_plain = timed(gen_plain)
-    t_look = timed(gen_look)
-    return {
-        "acceptance": float(stats["acceptance"]),
-        "agreement": float(stats["agreement"]),
-        "t_plain": t_plain,
-        "t_look": t_look,
-        "speedup": t_plain / max(t_look, 1e-9),
-        "window": window,
-        "plain_tokens": int(stats["plain_tokens"]),
-    }
+    """One-shot wrapper around TrainedLookaheadProbe (kept as the
+    documented CLI/API entry; bench.py uses the probe class directly so
+    the two band ends share the model load and the plain timing)."""
+    probe = TrainedLookaheadProbe(window=window, bucket=bucket, seed=seed,
+                                  cache=cache)
+    return probe.run(max_accept=max_accept)
 
 
 def full_scale_probe(steps: int = 600, batch: int = 4, n_max_triangles: int = 100,

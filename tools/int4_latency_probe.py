@@ -6,7 +6,9 @@ token count) for int4 configs, including the B=32 batch the int4 cache
 unlocks (same HBM bytes as the measured-OK int8 B=16).
 
 Run (exclusive TPU): python -m tools.int4_latency_probe [configs...]
-  config syntax: attn:batch:lookahead[:bucket]   e.g. pallas_int4:16:0
+  config syntax: attn:batch:lookahead[:bucket[:wq]]
+  e.g. pallas_int4:16:0, pallas_int4:1:8:512:wq (the --fast stack with
+  int4 instead of int8 KV)
   default set: pallas_int4:16:0 pallas_int4:16:0:1024 pallas_int4:32:0
                pallas_int4:16:8 pallas_int4:32:8
 """
@@ -51,10 +53,11 @@ def main():
         parts = spec.split(":")
         attn, batch, la = parts[0], int(parts[1]), int(parts[2])
         bucket = int(parts[3]) if len(parts) > 3 else 512
-        label = f"{attn} B={batch} la={la} bucket={bucket}"
+        wq = len(parts) > 4 and parts[4] == "wq"
+        label = f"{attn} B={batch} la={la} bucket={bucket}" + (" wq" if wq else "")
         try:
             runner = PhaseRunner(params, cfg, bucket=bucket, attn=attn,
-                                 lookahead=la, early_exit=(la > 0))
+                                 lookahead=la, wq=wq, early_exit=(la > 0))
             pc = jnp.asarray(rng.normal(
                 size=(batch, cfg.perceiver.num_points, 6)).astype(np.float32) * 0.5)
             t0 = time.time()
