@@ -493,6 +493,14 @@ def main():
             except Exception as e:
                 log(f"trained lookahead W=16 failed ({type(e).__name__}: {e})")
 
+        # Free the trained probe's device buffers (~0.7 GB bf16 params
+        # + cond) before the tightest-HBM rows below — the int4 B=64
+        # row runs at ~13 GB of KV with a ~2 GB headroom guard, and a
+        # lingering probe reference could tip it into an OOM-skipped
+        # metric (ADVICE r4).
+        probe = None
+        del probe
+
     # --- plain-quantized rows, dead last ------------------------------------
     # These two are the most expensive secondary rows (the int4 B=64 row
     # alone costs ~380 s: 131 s compile + 2 full 127 s runs) and are the

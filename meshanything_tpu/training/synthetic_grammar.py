@@ -344,7 +344,13 @@ class TrainedLookaheadProbe:
         stream, and jitted lookahead wall-clock (same methodology as
         the plain timing in __init__). The plain side is
         window-independent, so sweeping window/max_accept through run()
-        reuses everything __init__ paid for."""
+        reuses everything __init__ paid for.
+
+        Caveat (ADVICE r4): the returned speedup divides the SHARED
+        t_plain (measured once in __init__) by a t_look measured
+        possibly minutes later; on the single-tenant chip drift is
+        negligible, but band/sweep points are not strictly
+        back-to-back pairs — t_plain in the dict is the shared value."""
         import time
 
         import jax

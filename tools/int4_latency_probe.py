@@ -53,7 +53,12 @@ def main():
         parts = spec.split(":")
         attn, batch, la = parts[0], int(parts[1]), int(parts[2])
         bucket = int(parts[3]) if len(parts) > 3 else 512
-        wq = len(parts) > 4 and parts[4] == "wq"
+        if len(parts) > 4 and parts[4] != "wq":
+            # a typo'd 5th field ('WQ', 'true', ...) would otherwise run
+            # unquantized under a mislabeled config (ADVICE r4)
+            raise ValueError(f"unknown 5th config field in {spec!r}: "
+                             f"{parts[4]!r} (only 'wq' is recognized)")
+        wq = len(parts) > 4
         label = f"{attn} B={batch} la={la} bucket={bucket}" + (" wq" if wq else "")
         try:
             runner = PhaseRunner(params, cfg, bucket=bucket, attn=attn,
