@@ -74,19 +74,26 @@ def marching_tetrahedra(field: np.ndarray, level: float):
     corners = np.arange(8)
     offs = np.stack([corners & 1, (corners >> 1) & 1, (corners >> 2) & 1], axis=-1)
 
-    corner_vals = np.empty((cx, cy, cz, 8))
-    corner_gids = np.empty((cx, cy, cz, 8), dtype=np.int64)
-    ix, iy, iz = np.meshgrid(np.arange(cx), np.arange(cy), np.arange(cz), indexing="ij")
-    for c, (ox, oy, oz) in enumerate(offs):
-        corner_vals[..., c] = f[ox:ox + cx, oy:oy + cy, oz:oz + cz]
-        corner_gids[..., c] = ((ix + ox) * ny + (iy + oy)) * nz + (iz + oz)
+    # Active-cell mask FIRST, on contiguous full-grid ops (8 shifted-view
+    # adds into one (cx,cy,cz) count), THEN gather the 8 corners only for
+    # the active cells. The level set is a thin shell, so active cells
+    # are ~0.5% of the grid — materializing dense (cx,cy,cz,8) corner
+    # value/gid tensors (the round-1 layout) cost ~30 s/mesh at 128^3 on
+    # one host core before any geometry was computed.
+    sign_u8 = (f > 0).astype(np.uint8)
+    cnt = np.zeros((cx, cy, cz), dtype=np.uint8)
+    for ox, oy, oz in offs:
+        cnt += sign_u8[ox:ox + cx, oy:oy + cy, oz:oz + cz]
+    aidx = np.nonzero(((cnt > 0) & (cnt < 8)).ravel())[0]
 
-    corner_vals = corner_vals.reshape(-1, 8)
-    corner_gids = corner_gids.reshape(-1, 8)
-    sign = corner_vals > 0
-    active = ~(sign.all(axis=1) | (~sign).all(axis=1))
-    corner_vals = corner_vals[active]
-    corner_gids = corner_gids[active]
+    ax = aidx // (cy * cz)
+    rem = aidx % (cy * cz)
+    ay = rem // cz
+    az = rem % cz
+    corner_gids = np.stack(
+        [((ax + ox) * ny + (ay + oy)) * nz + (az + oz) for ox, oy, oz in offs],
+        axis=1)                                        # (A, 8)
+    corner_vals = f.ravel()[corner_gids]               # (A, 8)
 
     # accumulate (M, 3) triangle blocks of (gid_a, gid_b, t) per corner
     ga_blocks, gb_blocks, t_blocks = [], [], []

@@ -12,13 +12,13 @@ cd "$(dirname "$0")"
 # source changes; measured r4). x86-64-v3 (AVX2/FMA baseline) keeps the
 # vectorization that matters for the UDF grid while making rebuilds
 # byte-identical everywhere.
-g++ -O3 -march=x86-64-v3 -shared -fPIC \
+g++ -O3 -march=x86-64-v3 -shared -fPIC -pthread \
     -Wl,--build-id=none -ffile-prefix-map="$(pwd)"=. \
     -o libgeom.so geom.cpp
 echo "built $(pwd)/libgeom.so ($(sha256sum libgeom.so | cut -c1-12))"
 
 if [ "$1" = "test" ]; then
-  g++ -O1 -g -fsanitize=address,undefined -fno-omit-frame-pointer \
+  g++ -O1 -g -fsanitize=address,undefined -fno-omit-frame-pointer -pthread \
       -o test_geom geom.cpp test_geom.cpp
   ./test_geom
 fi

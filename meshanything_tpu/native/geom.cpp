@@ -13,7 +13,9 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -88,48 +90,91 @@ void udf_grid(const double* vertices, int nv,
     return std::min(std::max(c, 0), size - 1);
   };
 
-  std::vector<std::vector<int>> buckets(static_cast<size_t>(n3));
+  // CSR bucket index (count -> prefix-sum -> fill): one flat triangle
+  // array instead of n3 std::vectors — the vector-of-vectors layout
+  // allocated ~24 bytes of header per EMPTY cell (50 MB of touched
+  // memory at 128^3 before any geometry ran) and scattered each cell's
+  // triangle list across the heap.
   const double pad = spacing;  // one-cell halo
+  std::vector<int> tri_cell_lo(3 * static_cast<size_t>(nf));
+  std::vector<int> tri_cell_hi(3 * static_cast<size_t>(nf));
+  std::vector<int32_t> count(static_cast<size_t>(n3) + 1, 0);
   for (int t = 0; t < nf; ++t) {
     const double* A = vertices + 3 * faces[3 * t + 0];
     const double* B = vertices + 3 * faces[3 * t + 1];
     const double* C = vertices + 3 * faces[3 * t + 2];
-    double bb_lo[3], bb_hi[3];
     for (int k = 0; k < 3; ++k) {
-      bb_lo[k] = std::min({A[k], B[k], C[k]}) - pad;
-      bb_hi[k] = std::max({A[k], B[k], C[k]}) + pad;
+      double bb_lo = std::min({A[k], B[k], C[k]}) - pad;
+      double bb_hi = std::max({A[k], B[k], C[k]}) + pad;
+      tri_cell_lo[3 * t + k] = cell_of(bb_lo);
+      tri_cell_hi[3 * t + k] = cell_of(bb_hi);
     }
-    int x0 = cell_of(bb_lo[0]), x1 = cell_of(bb_hi[0]);
-    int y0 = cell_of(bb_lo[1]), y1 = cell_of(bb_hi[1]);
-    int z0 = cell_of(bb_lo[2]), z1 = cell_of(bb_hi[2]);
-    for (int x = x0; x <= x1; ++x)
-      for (int y = y0; y <= y1; ++y)
-        for (int z = z0; z <= z1; ++z)
-          buckets[(static_cast<int64_t>(x) * size + y) * size + z].push_back(t);
+    for (int x = tri_cell_lo[3 * t]; x <= tri_cell_hi[3 * t]; ++x)
+      for (int y = tri_cell_lo[3 * t + 1]; y <= tri_cell_hi[3 * t + 1]; ++y)
+        for (int z = tri_cell_lo[3 * t + 2]; z <= tri_cell_hi[3 * t + 2]; ++z)
+          ++count[(static_cast<int64_t>(x) * size + y) * size + z + 1];
+  }
+  for (int64_t i = 0; i < n3; ++i) count[i + 1] += count[i];
+  std::vector<int32_t> entries(static_cast<size_t>(count[n3]));
+  std::vector<int32_t> fill(count.begin(), count.end() - 1);
+  for (int t = 0; t < nf; ++t) {
+    for (int x = tri_cell_lo[3 * t]; x <= tri_cell_hi[3 * t]; ++x)
+      for (int y = tri_cell_lo[3 * t + 1]; y <= tri_cell_hi[3 * t + 1]; ++y)
+        for (int z = tri_cell_lo[3 * t + 2]; z <= tri_cell_hi[3 * t + 2]; ++z)
+          entries[fill[(static_cast<int64_t>(x) * size + y) * size + z]++] = t;
   }
 
+  // Hoist triangle vertices into one flat array: the node loop's
+  // per-triangle loads were 9 double-indirections through faces[].
+  std::vector<double> tri_verts(9 * static_cast<size_t>(nf));
+  for (int t = 0; t < nf; ++t)
+    for (int c = 0; c < 3; ++c)
+      for (int k = 0; k < 3; ++k)
+        tri_verts[9 * t + 3 * c + k] = vertices[3 * faces[3 * t + c] + k];
+
   // Pass 1: exact distance for nodes whose cell neighborhood holds
-  // triangles; mark the rest for BFS fill.
+  // triangles; mark the rest for Chamfer fill. Embarrassingly parallel
+  // over x-slabs — std::thread sized by hardware_concurrency (fleet
+  // hosts vary from 1 to many cores; on a 1-core host this degenerates
+  // to the serial loop with no overhead beyond one thread spawn).
   std::vector<float> field(static_cast<size_t>(n3), -1.0f);
-  for (int x = 0; x < size; ++x) {
-    for (int y = 0; y < size; ++y) {
-      for (int z = 0; z < size; ++z) {
-        Vec3 p{lo + spacing * x, lo + spacing * y, lo + spacing * z};
-        double best = 1e300;
-        bool found = false;
-        // search own cell + 1-ring (triangles were padded by one cell)
-        const auto& cell = buckets[(static_cast<int64_t>(x) * size + y) * size + z];
-        for (int t : cell) {
-          const Vec3 A{vertices[3 * faces[3 * t] + 0], vertices[3 * faces[3 * t] + 1], vertices[3 * faces[3 * t] + 2]};
-          const Vec3 B{vertices[3 * faces[3 * t + 1] + 0], vertices[3 * faces[3 * t + 1] + 1], vertices[3 * faces[3 * t + 1] + 2]};
-          const Vec3 C{vertices[3 * faces[3 * t + 2] + 0], vertices[3 * faces[3 * t + 2] + 1], vertices[3 * faces[3 * t + 2] + 2]};
-          best = std::min(best, point_tri_dist2(p, A, B, C));
-          found = true;
+  auto slab = [&](int x_begin, int x_end) {
+    for (int x = x_begin; x < x_end; ++x) {
+      for (int y = 0; y < size; ++y) {
+        for (int z = 0; z < size; ++z) {
+          Vec3 p{lo + spacing * x, lo + spacing * y, lo + spacing * z};
+          double best = 1e300;
+          const int64_t ci = (static_cast<int64_t>(x) * size + y) * size + z;
+          const int32_t e0 = count[ci], e1 = count[ci + 1];
+          for (int32_t e = e0; e < e1; ++e) {
+            const double* tv = tri_verts.data() + 9 * entries[e];
+            const Vec3 A{tv[0], tv[1], tv[2]};
+            const Vec3 B{tv[3], tv[4], tv[5]};
+            const Vec3 C{tv[6], tv[7], tv[8]};
+            best = std::min(best, point_tri_dist2(p, A, B, C));
+          }
+          field[ci] = e1 > e0 ? static_cast<float>(std::sqrt(best)) : -1.0f;
         }
-        field[(static_cast<int64_t>(x) * size + y) * size + z] =
-            found ? static_cast<float>(std::sqrt(best)) : -1.0f;
       }
     }
+  };
+  unsigned nthreads = std::max(1u, std::thread::hardware_concurrency());
+  if (const char* env = std::getenv("GEOM_THREADS")) {
+    int v = std::atoi(env);
+    if (v > 0) nthreads = static_cast<unsigned>(v);
+  }
+  nthreads = std::min<unsigned>(nthreads, static_cast<unsigned>(size));
+  if (nthreads <= 1) {
+    slab(0, size);
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(nthreads);
+    for (unsigned i = 0; i < nthreads; ++i) {
+      int x0 = static_cast<int>(static_cast<int64_t>(size) * i / nthreads);
+      int x1 = static_cast<int>(static_cast<int64_t>(size) * (i + 1) / nthreads);
+      pool.emplace_back(slab, x0, x1);
+    }
+    for (auto& th : pool) th.join();
   }
 
   // Pass 2: approximate far field by outward Chamfer sweeps (two passes

@@ -9,6 +9,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <vector>
 
 extern "C" void udf_grid(const double* vertices, int nv,
@@ -56,6 +57,23 @@ int main() {
   {
     std::vector<float> out(8 * 8 * 8);
     udf_grid(v.data(), 8, f.data(), 0, 8, -1.0, 2.0 / 7, out.data());
+  }
+
+  // the threaded x-slab path (GEOM_THREADS override — this fleet host
+  // may have one core) must be bit-identical to the serial path: the
+  // slabs are disjoint and the Chamfer pass is serial either way
+  {
+    const int size = 32;
+    const double lo = -1.0, spacing = 2.0 / (size - 1);
+    std::vector<float> serial(static_cast<size_t>(size) * size * size);
+    std::vector<float> threaded(serial.size());
+    setenv("GEOM_THREADS", "1", 1);
+    udf_grid(v.data(), 8, f.data(), 12, size, lo, spacing, serial.data());
+    setenv("GEOM_THREADS", "4", 1);
+    udf_grid(v.data(), 8, f.data(), 12, size, lo, spacing, threaded.data());
+    unsetenv("GEOM_THREADS");
+    for (size_t i = 0; i < serial.size(); ++i) assert(serial[i] == threaded[i]);
+    std::puts("threaded == serial (bit-identical)");
   }
   std::puts("native geom sanitizer test passed");
   return 0;
