@@ -41,8 +41,12 @@ def get_args(argv=None):
     parser.add_argument("--metrics_out", default=None, type=str)
     parser.add_argument("--resume", default=False, action="store_true",
                         help="skip inputs whose output OBJ already exists")
-    parser.add_argument("--lookahead", default=0, type=int,
-                        help="Jacobi lookahead window (exact greedy multi-token decode)")
+    parser.add_argument("--lookahead", default=0,
+                        type=lambda v: v if v == "adaptive" else int(v),
+                        help="Jacobi lookahead window (exact greedy multi-token "
+                             "decode); 'adaptive' switches between precompiled "
+                             "W=8/W=16 programs on measured acceptance "
+                             "(runtime/phases.py::PhaseRunner._run_adaptive)")
     parser.add_argument("--attn", default="auto",
                         choices=["auto", "pallas", "pallas_int8", "pallas_int4", "xla"],
                         help="decode attention backend (pallas_int8/int4 = "

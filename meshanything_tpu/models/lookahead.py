@@ -372,6 +372,29 @@ def _window_step(params, cfg: ShapeOPTConfig, state: LookaheadState,
                           state.iters + 1, key)
 
 
+def resize_window(state: "LookaheadState", new_w: int) -> "LookaheadState":
+    """Convert a LookaheadState between window widths (jittable).
+
+    Narrowing truncates guesses; widening zero-pads them — guesses are
+    only *proposals* (acceptance stops at the first mismatch), so any
+    filler is correct, exactly like init's zero guesses. Every other
+    field (kv, steps, tokens, done, iters, key) is width-independent,
+    PROVIDED the state was initialized with ``buf_window`` >= the
+    widest window the caller will resize to (the tokens scratch tail
+    and the cache padding are sized by it). Used by the adaptive
+    window controller (runtime/phases.py) to switch between
+    precompiled W=8/W=16 segment programs on measured acceptance."""
+    b, w = state.window.shape
+    if new_w == w:
+        return state
+    if new_w < w:
+        win = state.window[:, :new_w]
+    else:
+        win = jnp.concatenate(
+            [state.window, jnp.zeros((b, new_w - w), jnp.int32)], axis=1)
+    return state._replace(window=win)
+
+
 def init_lookahead_state(
     params: dict,
     cfg: ShapeOPTConfig,
@@ -386,17 +409,25 @@ def init_lookahead_state(
     sampling: bool = False,
     top_k: int = 50,
     top_p: float = 0.95,
+    buf_window: Optional[int] = None,
 ) -> "LookaheadState":
     """Prefill + first token -> the LookaheadState the window loop
     carries. Split out (mirroring shape_opt.init_decode_state) so
     callers can run the loop in bounded segments under the axon
-    worker's ~60 s per-program watchdog (PERF.md r3)."""
+    worker's ~60 s per-program watchdog (PERF.md r3).
+
+    buf_window: size the tokens scratch tail and cache padding for this
+    window capacity (>= window; default window) — lets one state flow
+    through segment programs of several window widths (resize_window)."""
     b, c, _ = cond_embeds.shape
     p_len = 0 if prompt_ids is None else prompt_ids.shape[1]
     if p_len >= max_new_tokens:
         raise ValueError(f"prompt length {p_len} must be < max_new_tokens={max_new_tokens}")
     w = window
-    s_max = -(-(c + max_new_tokens + w) // bucket) * bucket
+    bw = window if buf_window is None else buf_window
+    if bw < w:
+        raise ValueError(f"buf_window={bw} must be >= window={w}")
+    s_max = -(-(c + max_new_tokens + bw) // bucket) * bucket
 
     def _prefill(kv_len):
         if prompt_ids is None:
@@ -433,7 +464,7 @@ def init_lookahead_state(
         first = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
         key = jax.random.PRNGKey(0) if key is None else jnp.asarray(key)
 
-    tokens = jnp.full((b, max_new_tokens + w), cfg.eos_token_id, jnp.int32)
+    tokens = jnp.full((b, max_new_tokens + bw), cfg.eos_token_id, jnp.int32)
     if p_len:
         tokens = jax.lax.dynamic_update_slice(
             tokens, jnp.asarray(prompt_ids, jnp.int32), (0, 0))

@@ -91,23 +91,47 @@ class PhaseRunner:
     """Three compiled programs sharing the params tree."""
 
     def __init__(self, params, cfg: MeshAnythingConfig, *, bucket: int = 512,
-                 attn: str = "auto", early_exit: bool = True, lookahead: int = 0,
-                 wq: bool = False, aot_dir: Optional[str] = None):
+                 attn: str = "auto", early_exit: bool = True,
+                 lookahead: "int | str" = 0,
+                 wq: bool = False, aot_dir: Optional[str] = None,
+                 adaptive_windows: tuple = (8, 16),
+                 adaptive_check_iters: int = 64):
         """aot_dir: directory for serialized compiled executables
         (runtime/aot.py) — a second process cold-starts by
         deserializing instead of paying the multi-minute decode compile
         (the persistent XLA cache cannot capture this platform's
-        server-side compiles)."""
+        server-side compiles).
+
+        lookahead="adaptive": acceptance-adaptive window — TWO compiled
+        lookahead segment programs (adaptive_windows, default 8/16)
+        share one state layout (buf_window = the larger), and a host
+        controller reads the (steps, iters) counters every
+        adaptive_check_iters window forwards to switch width on
+        measured acceptance (models/lookahead.py::resize_window). The
+        r4 W-sweep showed W=16 winning 22% at B=1 *iff* acceptance
+        tracks the window — unknowable before the real checkpoint's
+        acceptance is seen, hence measured at runtime."""
         from meshanything_tpu.runtime.aot import AotFunction, AotStore
 
         self.params = params
         self.cfg = cfg
         self.attn = attn
         self.bucket = bucket
+        self._adaptive = lookahead == "adaptive"
+        if self._adaptive:
+            if len(adaptive_windows) != 2 or adaptive_windows[0] >= adaptive_windows[1]:
+                raise ValueError(f"adaptive_windows must be (small, big): {adaptive_windows}")
+            lookahead = adaptive_windows[0]
+            self._la_windows = tuple(adaptive_windows)
+            self._adapt_check = adaptive_check_iters
         self._lookahead = lookahead
+        self.window_trace: list = []   # (iters, window, acceptance) per check
+        buf_window = self._la_windows[1] if self._adaptive else lookahead
         dtype = cfg.activation_dtype
         store = AotStore(aot_dir) if aot_dir else None
-        ctx = repr((cfg, bucket, attn, early_exit, lookahead, wq))
+        self._buf_window = buf_window
+        ctx = repr((cfg, bucket, attn, early_exit, lookahead, wq,
+                    self._adaptive and self._la_windows))
 
         def encode(params, pc_normal):
             pf = per_mod.encode_latents(params["perceiver"], cfg.perceiver,
@@ -173,6 +197,17 @@ class PhaseRunner:
             "pallas" if jax.default_backend() == "tpu" else "xla")
         interp = resolved.startswith("pallas") and jax.default_backend() != "tpu"
         self._segmented = resolved.startswith("pallas")
+        if self._adaptive and not self._segmented:
+            # the XLA fallback runs one fused while_loop program — there
+            # is no segment boundary to read counters at, so adaptivity
+            # degrades to a fixed window of the SMALL width (correct
+            # stream, no switching); the pallas paths get the controller
+            import warnings
+
+            warnings.warn(
+                "lookahead='adaptive' requires the segmented pallas decode "
+                f"path (attn={resolved!r} resolved non-pallas); running with "
+                f"a fixed window of {lookahead}")
         gl = cfg.generate_length
         if lookahead > 0:
             # bound by window forwards (st.iters): ~42 ms each at large
@@ -180,7 +215,7 @@ class PhaseRunner:
             # forwards, and finished segments are no-ops
             seg = 400
             self._seg_bounds = [(i + 1) * seg for i in range(-(-gl // seg))]
-            s_max = -(-(cfg.cond_length + gl + lookahead) // bucket) * bucket
+            s_max = -(-(cfg.cond_length + gl + buf_window) // bucket) * bucket
         else:
             seg = 1800  # worst measured step rate ~10 ms -> <=18 s/segment
             self._seg_bounds = [min((i + 1) * seg, gl) for i in range(-(-gl // seg))]
@@ -193,18 +228,18 @@ class PhaseRunner:
                 return la_mod.init_lookahead_state(
                     params["opt"], cfg.opt, cond, max_new_tokens=gl,
                     window=lookahead, bucket=bucket, key=key, attn=resolved,
-                    sampling=sampling)
+                    sampling=sampling, buf_window=buf_window)
             return opt_mod.init_decode_state(
                 params["opt"], cfg.opt, cond, max_new_tokens=gl, key=key,
                 sampling=sampling, bucket=bucket, attn=resolved)
 
-        def decode_seg(params, state, until, sampling):
+        def decode_seg(params, state, until, sampling, window=lookahead):
             if lookahead > 0:
                 from meshanything_tpu.models import lookahead as la_mod
 
                 return la_mod.lookahead_segment(
                     params["opt"], cfg.opt, state, s_max=s_max,
-                    max_new_tokens=gl, window=lookahead, attn=resolved,
+                    max_new_tokens=gl, window=window, attn=resolved,
                     bucket=bucket, interpret=interp, wq=wq,
                     sampling=sampling, until_iters=until)
             return opt_mod.decode_segment(
@@ -218,7 +253,8 @@ class PhaseRunner:
         self._decode_init = AotFunction(decode_init, "decode_init", store=store,
                                         context=ctx, static_argnames=("sampling",))
         self._decode_seg = AotFunction(decode_seg, "decode_seg", store=store,
-                                       context=ctx, static_argnames=("sampling",),
+                                       context=ctx,
+                                       static_argnames=("sampling", "window"),
                                        donate_argnums=(1,))
         self._decode_prompt = AotFunction(
             decode_prompt, "decode_prompt", store=store, context=ctx,
@@ -246,9 +282,65 @@ class PhaseRunner:
             self._decode_init.precompile(self.params, cond, key, sampling=sampling)
             until = sds((), jnp.int32)
             self._decode_seg.precompile(self.params, state, until, sampling=sampling)
+            if self._adaptive:
+                big = self._la_windows[1]
+                state_big = state._replace(window=sds((batch, big), jnp.int32))
+                self._decode_seg.precompile(self.params, state_big, until,
+                                            sampling=sampling, window=big)
         else:
             self._decode.precompile(self.params, cond, key, sampling=sampling)
         self._detok.precompile(self.params, raw, pf)
+
+    def _run_adaptive(self, state, sampling: bool):
+        """Acceptance-adaptive segment dispatch (VERDICT r4 #2).
+
+        Runs the lookahead loop in adaptive_check_iters-forward slices;
+        after each, a tiny host read of (iters, steps, done) yields the
+        interval's mean per-forward acceptance over live rows, and the
+        controller switches between the two precompiled window programs
+        with hysteresis: up when the small window saturates (acceptance
+        >= W_small - 1 — the window, not the model, is the bottleneck),
+        down when the big window's acceptance fails to track it
+        (< 0.6 * W_big, where the extra per-forward window FLOPs stop
+        paying for themselves — r4 W-sweep, PERF.md). The switch itself
+        is free: resize_window touches only the (B, W) guess buffer.
+
+        Each slice is ONE bounded segment program execution, keeping
+        the axon worker's ~60 s per-program watchdog satisfied exactly
+        like the fixed schedule. The trace of (iters, window,
+        acceptance) lands in self.window_trace for tests and the
+        bench's acceptance-band rows."""
+        from meshanything_tpu.models.lookahead import resize_window
+
+        small, big = self._la_windows
+        gl = self.cfg.generate_length
+        w_cur = small
+        self.window_trace = []
+        iters, steps, done = jax.device_get((state.iters, state.steps, state.done))
+        prev_iters, prev_tok = int(iters), int(steps.sum())
+        bound = prev_iters
+        while True:
+            bound += self._adapt_check
+            state = self._decode_seg(self.params, state,
+                                     jnp.asarray(bound, jnp.int32),
+                                     sampling=sampling, window=w_cur)
+            iters, steps, done = jax.device_get(
+                (state.iters, state.steps, state.done))
+            live = (~done) & (steps < gl)
+            n_live = int(live.sum())
+            di = int(iters) - prev_iters
+            if di > 0:
+                acc = (int(steps.sum()) - prev_tok) / (di * max(n_live, 1))
+                if w_cur == small and acc >= small - 1.0:
+                    w_cur = big
+                    state = resize_window(state, big)
+                elif w_cur == big and acc < 0.6 * big:
+                    w_cur = small
+                    state = resize_window(state, small)
+                self.window_trace.append((int(iters), w_cur, float(acc)))
+            prev_iters, prev_tok = int(iters), int(steps.sum())
+            if n_live == 0 or bound > 4 * gl:   # 4*gl: defensive bound only
+                return state
 
     def __call__(self, pc_normal: jax.Array, *, sampling: bool = False,
                  key: Optional[jax.Array] = None, timer=None,
@@ -257,7 +349,7 @@ class PhaseRunner:
             check_memory_budget(
                 self.cfg, pc_normal.shape[0], self.bucket, self.attn,
                 param_bytes=param_tree_bytes(self.params),
-                extra_tokens=self._lookahead,
+                extra_tokens=self._buf_window,
             )
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -284,10 +376,13 @@ class PhaseRunner:
                                           sampling=sampling)
             elif self._segmented:
                 state = self._decode_init(self.params, cond, key, sampling=sampling)
-                for until in self._seg_bounds:
-                    state = self._decode_seg(self.params, state,
-                                             jnp.asarray(until, jnp.int32),
-                                             sampling=sampling)
+                if self._adaptive and self._lookahead > 0:
+                    state = self._run_adaptive(state, sampling)
+                else:
+                    for until in self._seg_bounds:
+                        state = self._decode_seg(self.params, state,
+                                                 jnp.asarray(until, jnp.int32),
+                                                 sampling=sampling)
                 # lookahead's token buffer carries +window scratch slots
                 raw = state.tokens[:, : self.cfg.generate_length]
             else:

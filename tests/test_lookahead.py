@@ -366,3 +366,34 @@ def test_meshanything_generate_sampling_lookahead_composes(rng):
                       key=jax.random.PRNGKey(5), bucket=16)
     assert out.token_ids.shape == (1, cfg.generate_length)
     assert out.face_coords.shape == (1, cfg.n_max_triangles, 3, 3)
+
+
+def test_resize_window_roundtrip(rng):
+    """resize_window is a pure guess-buffer resize: widening zero-pads
+    (zero guesses are valid proposals, as in init), narrowing truncates,
+    and the confirmed token w_0 plus every other state field survive
+    a widen->narrow round trip untouched."""
+    import jax.numpy as jnp
+
+    from meshanything_tpu.models.lookahead import LookaheadState, resize_window
+
+    b, w = 3, 4
+    st = LookaheadState(
+        steps=jnp.arange(b, dtype=jnp.int32),
+        tokens=jnp.ones((b, 20), jnp.int32),
+        kv=jnp.zeros((2, 1, b, 8, 4), jnp.float32),
+        done=jnp.zeros((b,), bool),
+        window=jnp.asarray(rng.integers(0, 9, size=(b, w)).astype(np.int32)),
+        iters=jnp.asarray(5, jnp.int32),
+        key=jax.random.PRNGKey(0),
+    )
+    wide = resize_window(st, 8)
+    assert wide.window.shape == (b, 8)
+    np.testing.assert_array_equal(np.asarray(wide.window[:, :w]), np.asarray(st.window))
+    np.testing.assert_array_equal(np.asarray(wide.window[:, w:]), 0)
+    back = resize_window(wide, w)
+    np.testing.assert_array_equal(np.asarray(back.window), np.asarray(st.window))
+    for name in ("steps", "tokens", "done", "iters", "key"):
+        np.testing.assert_array_equal(np.asarray(getattr(back, name)),
+                                      np.asarray(getattr(st, name)))
+    assert resize_window(st, w) is st

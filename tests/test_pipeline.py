@@ -146,3 +146,35 @@ def test_segmented_lookahead_matches_single_loop(cfg, rng):
         params["opt"], cfg.opt, cond, max_new_tokens=cfg.generate_length,
         window=4, bucket=16, attn="pallas", key=jax.random.PRNGKey(0))
     np.testing.assert_array_equal(np.asarray(out.token_ids), np.asarray(ref))
+
+
+def test_adaptive_lookahead_matches_fixed_window(cfg, rng):
+    """lookahead='adaptive' (VERDICT r4 #2): the controller switches
+    between two precompiled window programs on measured acceptance —
+    the emitted token stream must be identical to the fixed-window run
+    (greedy lookahead is window-size-invariant in exact arithmetic),
+    and the trace must show the controller actually engaging."""
+    import jax.numpy as jnp
+
+    from meshanything_tpu.models.lookahead import generate_lookahead
+    from meshanything_tpu.runtime.phases import PhaseRunner
+
+    # seed 1: the decode runs ~9 window-4 forwards to the length cap
+    # (seed 3 emits eos at init — no iterations for the controller to see)
+    params = ma.init_meshanything_params(jax.random.PRNGKey(1), cfg)
+    runner = PhaseRunner(params, cfg, bucket=16, attn="pallas",
+                         lookahead="adaptive", adaptive_windows=(4, 8),
+                         adaptive_check_iters=2)
+    assert runner._segmented and runner._adaptive
+    pc = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, cfg.perceiver.num_points, 6)).astype(np.float32) * 0.3)
+    out = runner(pc)
+    assert runner.window_trace, "controller never read the counters"
+    # every trace window is one of the two compiled widths
+    assert {w for _, w, _ in runner.window_trace} <= {4, 8}
+
+    pf, cond = runner._encode(params, pc)
+    ref = generate_lookahead(
+        params["opt"], cfg.opt, cond, max_new_tokens=cfg.generate_length,
+        window=4, bucket=16, attn="pallas", key=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(out.token_ids), np.asarray(ref))
