@@ -91,12 +91,17 @@ def _install_exit_hooks():
     signal.signal(signal.SIGINT, _term)
 
 
-def fits(name, est):
+def fits(name, est, reserve=0.0):
     """Budget gate: skip-and-log a section whose estimate no longer
-    fits (VERDICT r3 #1 — silent truncation reads as coverage)."""
+    fits (VERDICT r3 #1 — silent truncation reads as coverage).
+
+    reserve: additionally protect this much budget for sections queued
+    BEHIND this one (VERDICT r4 #5 — the int4 B=64 row now runs before
+    the trained-probe block but must not be able to starve it)."""
     r = remaining()
-    if r < est:
-        log(f"SKIP {name}: est {est:.0f}s > remaining {r:.0f}s "
+    if r < est + reserve:
+        log(f"SKIP {name}: est {est:.0f}s{f' + reserve {reserve:.0f}s' if reserve else ''} "
+            f"> remaining {r:.0f}s "
             f"(BENCH_BUDGET_S={BUDGET_S:.0f})")
         return False
     log(f"[{elapsed():.0f}s] {name} (est {est:.0f}s, {r:.0f}s left)")
@@ -318,9 +323,9 @@ def main():
     # int8+la8 B=16 0.921, bf16+la8 B=8 1.567 — the fused window append
     # + grouped MQ matmuls removed the old dispatch overhead, and batch
     # scaling is monotone through B=48.
-    def latency_rows(rows):
+    def latency_rows(rows, reserve=0.0):
         for attn, batch, la, wq, metric, label, est in rows:
-            if not fits(label, est):
+            if not fits(label, est, reserve=reserve):
                 continue
             try:
                 runner_la = PhaseRunner(params, cfg, bucket=512, attn=attn,
@@ -346,7 +351,14 @@ def main():
     # watertight UDF grid at 2^7 + marching tetrahedra + sampling +
     # generate for both example meshes; the reference flags this as the
     # slow path ("several minutes" per batch on CPU, mesh_to_pc.py:36)
-    if fits("folder --mc", 60):
+    # r5: preprocessing is ~45x faster than r4 (marching gathers corners
+    # only for active cells; native UDF got a CSR index + thread pool) —
+    # host share dropped from ~9 s/mesh to ~1.5 s/mesh on this 1-core
+    # host. The fast-tier variant composes the cheap preprocessing with
+    # the --fast decode (VERDICT r4 #6).
+    def folder_mc(metric, tier_runner, est, tier_label):
+        if not fits(f"folder --mc {tier_label}", est):
+            return
         try:
             from meshanything_tpu.runtime.pipeline import load_inputs
 
@@ -361,22 +373,29 @@ def main():
                 t0 = time.time()
                 for s in samples:
                     pc = jnp.asarray(np.asarray(s.pc_normal, np.float32)[None])
-                    out = runner(pc)
+                    out = tier_runner(pc)
                     jax.device_get(out.token_ids.ravel()[0])
                 t_gen = time.time() - t0
                 per = (t_pre + t_gen) / len(folder)
-                log(f"folder --mc: preprocess {t_pre:.1f}s + generate {t_gen:.1f}s "
-                    f"for {len(folder)} meshes = {per:.1f}s/mesh "
+                log(f"folder --mc [{tier_label}]: preprocess {t_pre:.1f}s + "
+                    f"generate {t_gen:.1f}s for {len(folder)} meshes = "
+                    f"{per:.1f}s/mesh "
                     f"(reference: 'several minutes' of mesh2sdf alone)")
-                emit("e2e_folder_mc", per, vs=180.0 / per)
+                emit(metric, per, vs=180.0 / per)
         except Exception as e:
-            log(f"folder --mc failed ({type(e).__name__}: {e})")
+            log(f"folder --mc {tier_label} failed ({type(e).__name__}: {e})")
+
+    folder_mc("e2e_folder_mc", runner, 45, "exact")
+    if fast_runner is not None:
+        folder_mc("e2e_folder_mc_fast", fast_runner, 25, "fast")
 
     # --- serving under concurrent load (dynamic micro-batching) ------------
     # 8 concurrent engine-level requests coalesce into ONE padded B=8
     # decode launch (runtime/batching.py). Reference serves strictly
     # one request at a time (app.py).
-    if fits("batched serving 8x", 150):
+    def batched_serving(metric, tier_runner, est):
+        if not fits(f"batched serving {metric}", est):
+            return
         try:
             import threading
 
@@ -385,35 +404,60 @@ def main():
             from meshanything_tpu.serving import ServingEngine
 
             wand = os.path.join(REF, "examples/wand.obj")
-            if os.path.exists(wand):
-                m = load_mesh(wand)
-                batched = BatchingRunner(runner, batch_sizes=(1, 2, 4, 8),
-                                         max_wait_s=4.0)
-                engine_b = ServingEngine(params, cfg, runner=batched,
-                                         artifacts_dir="/tmp/bench_artifacts")
-                nreq = 8
-                done = [None] * nreq
-                t0 = time.time()
-                threads = [threading.Thread(target=lambda i=i: done.__setitem__(
-                    i, engine_b.generate_from_mesh(m.vertices, m.faces, seed=0,
-                                                   render="off",
-                                                   export_artifacts=False)))
-                           for i in range(nreq)]
-                for t in threads:
-                    t.start()
-                for t in threads:
-                    t.join(timeout=600)
-                if all(r is not None for r in done):
-                    per = (time.time() - t0) / nreq
-                    log(f"batched serving: {nreq} concurrent requests, "
-                        f"{batched.batch_calls} launches, {per:.2f}s/request")
-                    emit("serving_batched_8x", per)
-                else:
-                    log(f"batched serving incomplete: "
-                        f"{sum(r is None for r in done)}/{nreq} requests failed")
-                batched.close()
+            if not os.path.exists(wand):
+                return
+            m = load_mesh(wand)
+            batched = BatchingRunner(tier_runner, batch_sizes=(1, 2, 4, 8),
+                                     max_wait_s=4.0)
+            engine_b = ServingEngine(params, cfg, runner=batched,
+                                     artifacts_dir="/tmp/bench_artifacts")
+            nreq = 8
+            done = [None] * nreq
+            t0 = time.time()
+            threads = [threading.Thread(target=lambda i=i: done.__setitem__(
+                i, engine_b.generate_from_mesh(m.vertices, m.faces, seed=0,
+                                               render="off",
+                                               export_artifacts=False)))
+                       for i in range(nreq)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=600)
+            if all(r is not None for r in done):
+                per = (time.time() - t0) / nreq
+                log(f"batched serving [{metric}]: {nreq} concurrent requests, "
+                    f"{batched.batch_calls} launches, {per:.2f}s/request")
+                emit(metric, per)
+            else:
+                log(f"batched serving [{metric}] incomplete: "
+                    f"{sum(r is None for r in done)}/{nreq} requests failed")
+            batched.close()
         except Exception as e:
-            log(f"batched serving failed ({type(e).__name__}: {e})")
+            log(f"batched serving {metric} failed ({type(e).__name__}: {e})")
+
+    # fast tier FIRST (VERDICT r4 #4: the composition this framework
+    # should own — ~8 concurrent --fast requests in one padded B=8
+    # lookahead launch); the exact-tier row is kept for comparison.
+    if fast_runner is not None:
+        batched_serving("serving_batched_8x_fast", fast_runner, est=130)
+    batched_serving("serving_batched_8x", runner, est=150)
+
+    # --- plain-quantized rows (driver-visible int4 B=64, VERDICT r4 #5) ----
+    # Moved AHEAD of the trained block (they were dead last in r4 and the
+    # B=64 row was budget-skipped out of the artifact), but each row
+    # reserves the trained block's estimate so it cannot starve the
+    # acceptance-band metrics that must stay last (non-preemptible
+    # training + fresh compiles). With the byte-plane int4 unpack the
+    # B=64 row is ~compile 130 s + 2 runs.
+    cache_default = "/tmp/grammar350m_s600b4n100lr0.001seed0.npz"
+    cache_path = os.environ.get("GRAMMAR_PROBE_CACHE", cache_default)
+    train_est = 250 if os.path.exists(cache_path) else 700
+    latency_rows((
+        ("pallas_int4", 64, 0, False, "mesh_latency_800f_int4_b64",
+         "int4 KV B=64", 300),
+        ("pallas_int8", 16, 0, False, "mesh_latency_800f_int8_b16",
+         "int8 KV B=16", 120),
+    ), reserve=train_est)
 
     # --- trained-weights lookahead (the honest exact-greedy claim) --------
     # random-weight lookahead acceptance is the degenerate best case
@@ -436,9 +480,6 @@ def main():
         TrainedLookaheadProbe,
     )
 
-    cache_default = "/tmp/grammar350m_s600b4n100lr0.001seed0.npz"
-    cache_path = os.environ.get("GRAMMAR_PROBE_CACHE", cache_default)
-    train_est = 250 if os.path.exists(cache_path) else 700
     if fits("trained lookahead (350M grammar)", train_est):
         probe = None
         try:
@@ -493,27 +534,41 @@ def main():
             except Exception as e:
                 log(f"trained lookahead W=16 failed ({type(e).__name__}: {e})")
 
+        # Adaptive-window band points (VERDICT r4 #2): the controller
+        # over precompiled W=8/W=16 segment programs on the SAME probe.
+        # On the saturating grammar model it should match fixed W=16
+        # (switch-up engages); under max_accept=4 it should match fixed
+        # W=8 (acceptance never reaches the switch-up threshold).
+        if probe is not None and fits("adaptive lookahead (trained)", 200):
+            try:
+                t0 = time.time()
+                ad = probe.run_adaptive()
+                trace_w = [w for _, w, _ in ad["trace"]]
+                log(f"adaptive lookahead: acceptance {ad['acceptance']:.2f}, "
+                    f"agreement {ad['agreement']:.4f}, speedup "
+                    f"{ad['speedup']:.2f}x, window trace {trace_w} "
+                    f"({time.time() - t0:.0f}s)")
+                emit("trained_adaptive_speedup", ad["speedup"], unit="x",
+                     vs=ad["speedup"])
+            except Exception as e:
+                log(f"adaptive lookahead failed ({type(e).__name__}: {e})")
+        if probe is not None and fits("adaptive lookahead capped4 (trained)", 150):
+            try:
+                t0 = time.time()
+                ad4 = probe.run_adaptive(max_accept=4)
+                trace_w = [w for _, w, _ in ad4["trace"]]
+                log(f"adaptive lookahead capped4: acceptance "
+                    f"{ad4['acceptance']:.2f}, speedup {ad4['speedup']:.2f}x, "
+                    f"window trace {trace_w} ({time.time() - t0:.0f}s)")
+                emit("trained_adaptive_speedup_capped4", ad4["speedup"],
+                     unit="x", vs=ad4["speedup"])
+            except Exception as e:
+                log(f"adaptive capped4 failed ({type(e).__name__}: {e})")
+
         # Free the trained probe's device buffers (~0.7 GB bf16 params
-        # + cond) before the tightest-HBM rows below — the int4 B=64
-        # row runs at ~13 GB of KV with a ~2 GB headroom guard, and a
-        # lingering probe reference could tip it into an OOM-skipped
-        # metric (ADVICE r4).
+        # + cond) before anything that might still run below (ADVICE r4).
         probe = None
         del probe
-
-    # --- plain-quantized rows, dead last ------------------------------------
-    # These two are the most expensive secondary rows (the int4 B=64 row
-    # alone costs ~380 s: 131 s compile + 2 full 127 s runs) and are the
-    # least informative per second — both numbers are pinned in PERF.md
-    # (int8 B=16 2.85, int4 B=64 1.813 via tools/int4_latency_probe) and
-    # the lookahead rows above supersede them on both latency and
-    # throughput. They run only when everything else has already landed.
-    latency_rows((
-        ("pallas_int8", 16, 0, False, "mesh_latency_800f_int8_b16",
-         "int8 KV B=16", 120),
-        ("pallas_int4", 64, 0, False, "mesh_latency_800f_int4_b64",
-         "int4 KV B=64", 320),
-    ))
 
     log(f"bench done in {elapsed():.0f}s of {BUDGET_S:.0f}s budget")
     # headline re-emitted last by the atexit hook (_final_emit)

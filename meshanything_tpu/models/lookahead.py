@@ -395,6 +395,55 @@ def resize_window(state: "LookaheadState", new_w: int) -> "LookaheadState":
     return state._replace(window=win)
 
 
+def run_adaptive_controller(state: "LookaheadState", seg_fn, *,
+                            windows=(8, 16), check_iters: int = 64,
+                            max_new_tokens: int, trace: Optional[list] = None):
+    """Acceptance-adaptive segment dispatch (VERDICT r4 #2) — the shared
+    host controller behind PhaseRunner(lookahead="adaptive") and the
+    trained-grammar bench probe.
+
+    seg_fn(state, until_iters, window) runs ONE bounded lookahead
+    segment at the given (static) window width and returns the new
+    state; the state must have been initialized with buf_window >=
+    max(windows). After each slice the controller reads the (iters,
+    steps, done) counters (a tiny host transfer — the only sync) and
+    switches width with hysteresis: up when the small window saturates
+    (mean acceptance >= W_small - 1), down when the big window's
+    acceptance stops tracking it (< 0.6 * W_big — where the extra
+    window FLOPs stop paying for themselves, r4 W-sweep, PERF.md).
+
+    trace (optional list) receives (iters, window, acceptance) tuples.
+    Returns the final state."""
+    import numpy as np
+
+    small, big = windows
+    gl = max_new_tokens
+    w_cur = small
+    iters, steps, done = jax.device_get((state.iters, state.steps, state.done))
+    prev_iters, prev_tok = int(iters), int(np.sum(steps))
+    bound = prev_iters
+    while True:
+        bound += check_iters
+        state = seg_fn(state, jnp.asarray(bound, jnp.int32), w_cur)
+        iters, steps, done = jax.device_get((state.iters, state.steps, state.done))
+        live = (~done) & (steps < gl)
+        n_live = int(np.sum(live))
+        di = int(iters) - prev_iters
+        if di > 0:
+            acc = (int(np.sum(steps)) - prev_tok) / (di * max(n_live, 1))
+            if w_cur == small and acc >= small - 1.0:
+                w_cur = big
+                state = resize_window(state, big)
+            elif w_cur == big and acc < 0.6 * big:
+                w_cur = small
+                state = resize_window(state, small)
+            if trace is not None:
+                trace.append((int(iters), w_cur, float(acc)))
+        prev_iters, prev_tok = int(iters), int(np.sum(steps))
+        if n_live == 0 or bound > 4 * gl:   # 4*gl: defensive bound only
+            return state
+
+
 def init_lookahead_state(
     params: dict,
     cfg: ShapeOPTConfig,

@@ -58,6 +58,41 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _unpack4(tile, out_dtype):
+    """In-kernel int4 unpack -> full-width codes in the matmul dtype.
+
+    Routes on the tile dtype (the packing contract of ops/kvcache.py):
+
+      * int32 = BYTE-PLANE words (the default): 8 (shift, mask,
+        sign-fix) chains, each on D//8 elements — no int8->int32 widen
+        relayout (the DMA already delivered natively-tiled int32), and
+        every plane lands as a contiguous lane-aligned column block so
+        reassembly is one concat. The top plane rides a single
+        arithmetic shift (sign extension for free).
+      * int8 = legacy nibble pairs: int32 widen + split + sign-fix +
+        concat (the measured VPU residual of the r4 int4 kernel,
+        PERF.md r4 — kept for A/B probes).
+    """
+    if tile.dtype == jnp.int32:
+        planes = []
+        for p in range(8):
+            if p == 7:
+                t = jax.lax.shift_right_arithmetic(tile, 28)
+            else:
+                sh = jax.lax.shift_right_logical(tile, 4 * p) if p else tile
+                t = jnp.bitwise_xor(jnp.bitwise_and(sh, 15), 8) - 8
+            planes.append(t)
+        return jnp.concatenate(planes, axis=-1).astype(out_dtype)
+    raw = tile.astype(jnp.int32)
+    hi = jax.lax.shift_right_arithmetic(raw, 4)
+    lo = jnp.bitwise_xor(jnp.bitwise_and(raw, 15), 8) - 8
+    return jnp.concatenate([lo, hi], axis=-1).astype(out_dtype)
+
+
+def _int4_packed_hd(hd: int, dtype) -> int:
+    return hd // 8 if dtype == jnp.int32 else hd // 2
+
+
 def _flash_decode_kernel(
     # scalar prefetch
     base_ref,           # SMEM (B,) int32 — per-row confirmed kv rows
@@ -158,14 +193,12 @@ def _flash_decode_kernel(
     code_dtype = jnp.int8 if mm_s8 else mm_dtype
 
     def load_kv(buf_slot):
-        # bits=4: nibble-split + lane-aligned concat (the packing
-        # contract of ops/kvcache.py puts column j's pair at j + HD/2,
-        # so no lane interleave is ever needed)
+        # bits=4: unpack to full-width codes (byte-plane or legacy
+        # nibble-pair, routed on the buffer dtype — contracts in
+        # ops/kvcache.py). Both reassemble with lane-aligned concats;
+        # no interleave ever touches the TPU lane dim.
         if bits == 4:
-            raw = buf_slot.astype(jnp.int32)
-            hi = jax.lax.shift_right_arithmetic(raw, 4)
-            lo = jnp.bitwise_xor(jnp.bitwise_and(raw, 15), 8) - 8
-            return jnp.concatenate([lo, hi], axis=-1).astype(code_dtype)
+            return _unpack4(buf_slot, code_dtype)
         return buf_slot.astype(code_dtype)
 
     b = pl.program_id(0)
@@ -393,7 +426,7 @@ def _flash_decode(
     b, w, h, d = q.shape
     hd = h * d
     quantized = kv_scales is not None
-    packed_hd = hd // 2 if (quantized and bits == 4) else hd
+    packed_hd = _int4_packed_hd(hd, kv_values.dtype) if (quantized and bits == 4) else hd
     assert kv_values.shape[-1] == packed_hd, (kv_values.shape, h, d, bits)
     # The unquantized ("exact tier") path loads cache values in the
     # query dtype; a wider cache (e.g. f32 KV with bf16 queries) would
@@ -559,10 +592,7 @@ def _flash_decode_pipelined_kernel(
 
     def load(buf_slot):
         if bits == 4:
-            raw = buf_slot.astype(jnp.int32)
-            hi = jax.lax.shift_right_arithmetic(raw, 4)
-            lo = jnp.bitwise_xor(jnp.bitwise_and(raw, 15), 8) - 8
-            return jnp.concatenate([lo, hi], axis=-1).astype(mm_dtype)
+            return _unpack4(buf_slot, mm_dtype)
         return buf_slot.astype(mm_dtype)
 
     def nchunks(r):
@@ -686,7 +716,7 @@ def _flash_decode_pipelined(
     b, h, d = q.shape
     hd = h * d
     quantized = kv_scales is not None
-    packed_hd = hd // 2 if (quantized and bits == 4) else hd
+    packed_hd = _int4_packed_hd(hd, kv_values.dtype) if (quantized and bits == 4) else hd
     assert kv_values.shape[-1] == packed_hd, (kv_values.shape, h, d, bits)
     assert quantized or kv_values.dtype == q.dtype, (kv_values.dtype, q.dtype)
     scale = 1.0 / math.sqrt(d)
@@ -845,7 +875,8 @@ def decode_attention_mq_int8_impl(
 
 def decode_attention_int4_impl(
     q: jax.Array,          # (B, H, D)
-    kv_values: jax.Array,  # (2, L, B, S, H*D//2) int8 — two 4-bit codes/byte
+    kv_values: jax.Array,  # (2, L, B, S, H*D//8) int32 byte-plane words
+                           # (legacy: (..., H*D//2) int8 nibble pairs)
     kv_scales: jax.Array,  # (2, L, B, 1, S) f32
     layer: jax.Array,
     cur_len: jax.Array,
@@ -874,7 +905,7 @@ def decode_attention_int4_impl(
 
 def decode_attention_mq_int4_impl(
     q: jax.Array,          # (B, W, H, D)
-    kv_values: jax.Array,  # (2, L, B, S, H*D//2) int8
+    kv_values: jax.Array,  # (2, L, B, S, H*D//8) int32 (byte-plane)
     kv_scales: jax.Array,  # (2, L, B, 1, S) f32
     layer: jax.Array,
     base_lens: jax.Array,  # (B,) int32

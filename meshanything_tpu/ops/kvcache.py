@@ -54,23 +54,62 @@ def quantize_rows(rows: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 # ---------------------------------------------------------------------------
-# int4: two 4-bit codes per byte — quarters the dominant KV traffic
+# int4: 4-bit codes — quarters the dominant KV traffic
 #
-# Packing contract (shared with ops/decode_attention.py `bits=4`): byte
-# j of a packed (..., D//2) row holds original column j in its LOW
-# nibble and column j + D//2 in its HIGH nibble, both 4-bit two's
-# complement in [-7, 7]. Unpacking is then a nibble split + ONE
-# lane-aligned concat — no interleave/shuffle on the TPU lane dim.
+# Two packing contracts (shared with ops/decode_attention.py `bits=4`),
+# distinguished by the packed array's DTYPE so every consumer routes
+# automatically:
+#
+#   * BYTE-PLANE ("plane", int32, the default): the packed row is D//8
+#     int32 WORDS; nibble p (bits [4p, 4p+4)) of word w holds original
+#     column p*(D//8) + w as 4-bit two's complement in [-7, 7]. The
+#     kernel unpack is then 8 lane-aligned (shift, mask, sign-fix)
+#     chains each touching D//8 elements — 1/4 of the elements the
+#     legacy unpack widened — and NO int8->int32 relayout: the DMA
+#     delivers natively-tiled int32. Plane p's extraction yields the
+#     contiguous column block [p*D//8, (p+1)*D//8), so reassembly is a
+#     lane-aligned concat, never an interleave. This is the byte-plane
+#     contract of VERDICT r4 #1 (the measured residual of the int4
+#     kernel was the VPU nibble unpack, PERF.md r4).
+#
+#   * LEGACY nibble-pair ("nibble", int8): byte j of a packed (..., D//2)
+#     row holds column j in its LOW nibble and column j + D//2 in its
+#     HIGH nibble. Kept for A/B measurement (tools/int4_plane_probe.py);
+#     select with INT4_PACKING="nibble".
+
+INT4_PACKING = "plane"  # "plane" (int32 words) | "nibble" (legacy int8)
 
 
-def quantize_rows_int4(rows: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Quantize K/V rows (..., D) -> (packed int8 (..., D//2), scales).
+def quantize_rows_int4(rows: jax.Array, packing: str | None = None) -> Tuple[jax.Array, jax.Array]:
+    """Quantize K/V rows (..., D) -> (packed codes, scales (..., 1) f32).
 
-    Symmetric per-row scale = amax / 7 (4-bit range [-7, 7])."""
+    Symmetric per-row scale = amax / 7 (4-bit range [-7, 7]). The packed
+    layout follows ``packing`` (default: module INT4_PACKING)."""
+    packing = INT4_PACKING if packing is None else packing
     d = rows.shape[-1]
-    assert d % 2 == 0, d
     amax = jnp.max(jnp.abs(rows.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 7.0
+
+    if packing == "plane":
+        assert d % 8 == 0, d
+        n = d // 8
+        # Eight independent element-wise chains ORed into the output:
+        # each has ONE consumer, so XLA fuses the whole tree into one
+        # output-shaped loop (the r3 32 GB prompt-prefill intermediate
+        # came from a SHARED full-width s32 subexpression with two
+        # consumers — verified not to recur here via the chipless AOT
+        # memory probe, PERF.md r5).
+        word = None
+        for p in range(8):
+            sl = rows[..., p * n:(p + 1) * n].astype(jnp.float32)
+            codes = jnp.clip(jnp.round(sl / scale), -7, 7).astype(jnp.int32)
+            t = jnp.bitwise_and(codes, 15)
+            t = jnp.left_shift(t, 4 * p) if p else t
+            word = t if word is None else jnp.bitwise_or(word, t)
+        return word, scale
+
+    assert packing == "nibble", packing
+    assert d % 2 == 0, d
 
     # Quantize each half independently in int8: a single full-width
     # int32 code tensor would be consumed by both nibbles, and XLA
@@ -88,10 +127,26 @@ def quantize_rows_int4(rows: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def unpack_int4(packed: jax.Array) -> jax.Array:
-    """Inverse of the int4 packing: (..., D//2) int8 -> (..., D) int32
-    codes in [-8, 7]. XLA/test helper — the Pallas kernel inlines the
-    same nibble math on its VMEM tiles."""
+    """Inverse of the int4 packing: packed codes -> (..., D) int32 codes
+    in [-8, 7]. Routes on dtype: int32 = byte-plane words, int8 = legacy
+    nibble pairs. XLA/test helper — the Pallas kernel inlines the same
+    math on its VMEM tiles."""
+    if packed.dtype == jnp.int32:
+        planes = []
+        for p in range(8):
+            if p == 7:
+                t = jax.lax.shift_right_arithmetic(packed, 28)
+            else:
+                sh = jax.lax.shift_right_logical(packed, 4 * p) if p else packed
+                t = jnp.bitwise_xor(jnp.bitwise_and(sh, 15), 8) - 8
+            planes.append(t)
+        return jnp.concatenate(planes, axis=-1)
     raw = packed.astype(jnp.int32)
     hi = jnp.right_shift(raw, 4)                      # arithmetic: keeps sign
     lo = jnp.bitwise_xor(jnp.bitwise_and(raw, 15), 8) - 8  # sign-extend 4 bits
     return jnp.concatenate([lo, hi], axis=-1)
+
+
+def int4_packed_width(d: int, dtype) -> int:
+    """Packed last-dim width for a D-wide row under each contract."""
+    return d // 8 if dtype == jnp.int32 else d // 2

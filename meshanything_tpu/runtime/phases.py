@@ -292,55 +292,21 @@ class PhaseRunner:
         self._detok.precompile(self.params, raw, pf)
 
     def _run_adaptive(self, state, sampling: bool):
-        """Acceptance-adaptive segment dispatch (VERDICT r4 #2).
+        """Acceptance-adaptive segment dispatch (VERDICT r4 #2): thin
+        wrapper over lookahead.run_adaptive_controller — each slice is
+        ONE bounded segment program execution (the ~60 s watchdog stays
+        satisfied exactly like the fixed schedule), and the trace of
+        (iters, window, acceptance) lands in self.window_trace for
+        tests and the bench's acceptance-band rows."""
+        from meshanything_tpu.models.lookahead import run_adaptive_controller
 
-        Runs the lookahead loop in adaptive_check_iters-forward slices;
-        after each, a tiny host read of (iters, steps, done) yields the
-        interval's mean per-forward acceptance over live rows, and the
-        controller switches between the two precompiled window programs
-        with hysteresis: up when the small window saturates (acceptance
-        >= W_small - 1 — the window, not the model, is the bottleneck),
-        down when the big window's acceptance fails to track it
-        (< 0.6 * W_big, where the extra per-forward window FLOPs stop
-        paying for themselves — r4 W-sweep, PERF.md). The switch itself
-        is free: resize_window touches only the (B, W) guess buffer.
-
-        Each slice is ONE bounded segment program execution, keeping
-        the axon worker's ~60 s per-program watchdog satisfied exactly
-        like the fixed schedule. The trace of (iters, window,
-        acceptance) lands in self.window_trace for tests and the
-        bench's acceptance-band rows."""
-        from meshanything_tpu.models.lookahead import resize_window
-
-        small, big = self._la_windows
-        gl = self.cfg.generate_length
-        w_cur = small
         self.window_trace = []
-        iters, steps, done = jax.device_get((state.iters, state.steps, state.done))
-        prev_iters, prev_tok = int(iters), int(steps.sum())
-        bound = prev_iters
-        while True:
-            bound += self._adapt_check
-            state = self._decode_seg(self.params, state,
-                                     jnp.asarray(bound, jnp.int32),
-                                     sampling=sampling, window=w_cur)
-            iters, steps, done = jax.device_get(
-                (state.iters, state.steps, state.done))
-            live = (~done) & (steps < gl)
-            n_live = int(live.sum())
-            di = int(iters) - prev_iters
-            if di > 0:
-                acc = (int(steps.sum()) - prev_tok) / (di * max(n_live, 1))
-                if w_cur == small and acc >= small - 1.0:
-                    w_cur = big
-                    state = resize_window(state, big)
-                elif w_cur == big and acc < 0.6 * big:
-                    w_cur = small
-                    state = resize_window(state, small)
-                self.window_trace.append((int(iters), w_cur, float(acc)))
-            prev_iters, prev_tok = int(iters), int(steps.sum())
-            if n_live == 0 or bound > 4 * gl:   # 4*gl: defensive bound only
-                return state
+        return run_adaptive_controller(
+            state,
+            lambda st, until, w: self._decode_seg(
+                self.params, st, until, sampling=sampling, window=w),
+            windows=self._la_windows, check_iters=self._adapt_check,
+            max_new_tokens=self.cfg.generate_length, trace=self.window_trace)
 
     def __call__(self, pc_normal: jax.Array, *, sampling: bool = False,
                  key: Optional[jax.Array] = None, timer=None,

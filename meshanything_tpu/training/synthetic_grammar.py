@@ -391,6 +391,77 @@ class TrainedLookaheadProbe:
         }
 
 
+    def run_adaptive(self, max_accept: int | None = None,
+                     windows: tuple = (8, 16), check_iters: int = 16):
+        """Adaptive-window band point (VERDICT r4 #2): the shared
+        controller (models/lookahead.py::run_adaptive_controller) over
+        two jitted bounded-segment programs on the trained model. On
+        the saturating grammar model it should match the fixed W=16
+        wall-clock; under max_accept=4 it should match-or-beat fixed
+        W=8 (the controller never leaves the small window when
+        acceptance is capped below the switch-up threshold)."""
+        import time
+
+        import jax
+        import jax.numpy as jnp
+
+        from meshanything_tpu.models import lookahead as la_mod
+
+        cfg, params = self.cfg, self.params
+        gl = cfg.generate_length
+        bucket = self.bucket
+        big = max(windows)
+        s_max = -(-(cfg.cond_length + gl + big) // bucket) * bucket
+        interp = self.attn.startswith("pallas") and jax.default_backend() != "tpu"
+
+        init = jax.jit(lambda p, c: la_mod.init_lookahead_state(
+            p, cfg.opt, c, max_new_tokens=gl, window=windows[0],
+            bucket=bucket, attn=self.attn, buf_window=big))
+        seg = jax.jit(
+            lambda p, st, until, window: la_mod.lookahead_segment(
+                p, cfg.opt, st, s_max=s_max, max_new_tokens=gl,
+                window=window, attn=self.attn, bucket=bucket,
+                until_iters=until, max_accept=max_accept, interpret=interp),
+            static_argnames=("window",), donate_argnums=(1,))
+
+        def run_once(trace=None):
+            st = init(params["opt"], self.cond)
+            return la_mod.run_adaptive_controller(
+                st, lambda s, u, w: seg(params["opt"], s, u, window=w),
+                windows=windows, check_iters=check_iters,
+                max_new_tokens=gl, trace=trace)
+
+        trace: list = []
+        st = run_once(trace)            # compiles whichever windows engage
+        look = np.asarray(st.tokens[:, :gl])
+        emitted = int(np.sum(np.asarray(st.steps) - 1))
+        iters = max(int(np.asarray(st.iters)), 1)
+        t0 = time.time()
+        st2 = run_once()
+        import jax as _jax
+        _jax.device_get(np.asarray(st2.tokens).ravel()[0])
+        t_look = time.time() - t0
+
+        plain = self.plain
+        b = plain.shape[0]
+        agree, total = 0, 0
+        for row in range(b):
+            eos = np.where(plain[row] == cfg.opt.eos_token_id)[0]
+            limit = (eos[0] + 1) if len(eos) else plain.shape[1]
+            agree += int((look[row, :limit] == plain[row, :limit]).sum())
+            total += int(limit)
+        return {
+            "acceptance": emitted / (iters * b),
+            "agreement": agree / max(total, 1),
+            "t_plain": self.t_plain,
+            "t_look": t_look,
+            "speedup": self.t_plain / max(t_look, 1e-9),
+            "windows": windows,
+            "trace": trace,
+            "plain_tokens": total,
+        }
+
+
 def trained_lookahead_bench(window: int = 8, bucket: int = 512, seed: int = 0,
                             cache: str | None = None,
                             max_accept: int | None = None):

@@ -41,9 +41,19 @@ def _clear_jax_caches_between_modules():
     programs; the same test passes in isolation and in every smaller
     grouping tried). Dropping compiled-program state between modules
     keeps the in-process accumulation bounded; costs a few re-compiles
-    of shared small programs."""
+    of shared small programs.
+
+    Root-cause status (r5): a 600-program accumulation repro
+    (tools/xla_cpu_crash_repro.py — scans, while_loops, donated
+    buffers, interpret-Pallas, shard_map, all with unique constants)
+    completes cleanly with LINEAR resource curves (~1.6 MB RSS and ~5
+    VM maps per program; 65530 map limit, 126 GB RAM — no limit within
+    reach), so simple executable accumulation is NOT the mechanism.
+    Set MESHTPU_NO_CACHE_CLEAR=1 to disable this mitigation (used by
+    the full-suite crash-hunt run)."""
     yield
-    jax.clear_caches()
+    if not os.environ.get("MESHTPU_NO_CACHE_CLEAR"):
+        jax.clear_caches()
 
 
 @pytest.fixture(scope="session")

@@ -113,21 +113,40 @@ def test_decode_attention_int8_interpret_close_to_exact(rng):
                                        err_msg=f"layer={layer} cur={cur}")
 
 
-def test_kv_int4_pack_unpack_roundtrip(rng):
-    """int4 packing: codes survive the nibble round-trip exactly and the
-    dequantized rows stay within half a quantization step of the source
-    (per-row symmetric scale = amax/7)."""
+@pytest.mark.parametrize("packing,shape,dtype", [
+    ("plane", (3, 5, 16), jnp.int32),
+    ("nibble", (3, 5, 64), jnp.int8),
+])
+def test_kv_int4_pack_unpack_roundtrip(rng, packing, shape, dtype):
+    """int4 packing: codes survive the pack/unpack round-trip exactly
+    under BOTH contracts (byte-plane int32 words / legacy nibble pairs)
+    and the dequantized rows stay within half a quantization step of
+    the source (per-row symmetric scale = amax/7)."""
     from meshanything_tpu.ops.kvcache import quantize_rows_int4, unpack_int4
 
     rows = jnp.asarray(rng.normal(size=(3, 5, 128)).astype(np.float32))
-    packed, scale = quantize_rows_int4(rows)
-    assert packed.shape == (3, 5, 64) and packed.dtype == jnp.int8
+    packed, scale = quantize_rows_int4(rows, packing=packing)
+    assert packed.shape == shape and packed.dtype == dtype
     codes = np.asarray(unpack_int4(packed))
     expect = np.clip(np.round(np.asarray(rows) / np.asarray(scale)), -7, 7)
     np.testing.assert_array_equal(codes, expect.astype(np.int32))
     back = codes * np.asarray(scale)
     err = np.abs(back - np.asarray(rows))
     assert (err <= np.asarray(scale)[..., 0, None] * 0.5 + 1e-6).all()
+
+
+def test_kv_int4_plane_and_nibble_codes_identical(rng):
+    """The two packing contracts are pure layout changes: unpacked codes
+    (and therefore every downstream attention result) are bit-identical
+    for the same input rows."""
+    from meshanything_tpu.ops.kvcache import quantize_rows_int4, unpack_int4
+
+    rows = jnp.asarray(rng.normal(size=(2, 7, 256)).astype(np.float32) * 0.3)
+    plane, s_p = quantize_rows_int4(rows, packing="plane")
+    nibble, s_n = quantize_rows_int4(rows, packing="nibble")
+    np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_n))
+    np.testing.assert_array_equal(np.asarray(unpack_int4(plane)),
+                                  np.asarray(unpack_int4(nibble)))
 
 
 def test_decode_attention_int4_interpret_close_to_exact(rng):
@@ -503,6 +522,56 @@ def test_decode_attention_fused_dma_matches_flat(rng):
                                        chunk=128, interpret=True, fused_dma=True)
         np.testing.assert_array_equal(np.asarray(a, np.float32),
                                       np.asarray(b, np.float32))
+
+
+def test_decode_attention_int4_legacy_nibble_format(rng):
+    """The legacy nibble-pair packing (int8) still routes through every
+    int4 kernel shape — single-query flat, pipelined, and windowed MQ —
+    and produces results identical to the byte-plane packing of the
+    same rows (pure layout change; kept for the A/B kernel probes)."""
+    from meshanything_tpu.ops.decode_attention import (
+        decode_attention_int4_impl,
+        decode_attention_mq_int4_impl,
+    )
+    from meshanything_tpu.ops.kvcache import quantize_rows_int4
+
+    B, W, H, D, S, L = 2, 3, 4, 64, 256, 2
+    q = jnp.asarray(rng.normal(size=(B, H, D)).astype(np.float32)).astype(jnp.bfloat16)
+    kv = jnp.asarray(rng.normal(size=(2, L, B, S, H * D)).astype(np.float32) * 0.3)
+    v_leg, s_leg = quantize_rows_int4(kv, packing="nibble")
+    v_pl, s_pl = quantize_rows_int4(kv, packing="plane")
+    assert v_leg.dtype == jnp.int8 and v_pl.dtype == jnp.int32
+    st_leg = jnp.transpose(s_leg, (0, 1, 2, 4, 3))
+    st_pl = jnp.transpose(s_pl, (0, 1, 2, 4, 3))
+
+    for cur in (7, 200):
+        a = decode_attention_int4_impl(q, v_leg, st_leg, 1, cur,
+                                       chunk=128, interpret=True)
+        b = decode_attention_int4_impl(q, v_pl, st_pl, 1, cur,
+                                       chunk=128, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+        ap = decode_attention_int4_impl(q, v_leg, st_leg, 1, cur, chunk=128,
+                                        interpret=True, pipelined=True)
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(ap, np.float32))
+
+    qw = jnp.asarray(rng.normal(size=(B, W, H, D)).astype(np.float32)).astype(jnp.bfloat16)
+    base = jnp.asarray([5, 120], jnp.int32)
+    wk = jnp.asarray(rng.normal(size=(B, W, H * D)).astype(np.float32) * 0.3)
+    wv = wk * 0.7
+    outs = []
+    for packing, values, scales_t in (("nibble", v_leg, st_leg),
+                                      ("plane", v_pl, st_pl)):
+        wkq, wks = quantize_rows_int4(wk, packing=packing)
+        wvq, wvs = quantize_rows_int4(wv, packing=packing)
+        outs.append(decode_attention_mq_int4_impl(
+            qw, values, scales_t, 1, base, chunk=128, interpret=True,
+            win_kv=(wkq, wvq),
+            win_scales=(jnp.transpose(wks, (0, 2, 1)),
+                        jnp.transpose(wvs, (0, 2, 1)))))
+    np.testing.assert_array_equal(np.asarray(outs[0], np.float32),
+                                  np.asarray(outs[1], np.float32))
 
 
 def test_decode_attention_pipelined_matches_flat(rng):

@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Adjudicate the exact-tier bandwidth floor (VERDICT r4 #3): what does
+this chip's HBM actually sustain?
+
+The r4 record pins the bf16 decode headline at "95% of 679 GB/s" — but
+679 GB/s is the decode KERNEL's own measured rate, and the int8
+diagnostic elsewhere quotes 613 GB/s. Neither is an independent wire
+measurement. This probe measures sustained HBM read bandwidth two ways,
+at the headline decode shapes, with no attention math in the way:
+
+  1. xla_sum: jnp.sum over the full cache-sized buffer — XLA:TPU's own
+     reduction pipeline, a known near-wire-rate baseline.
+  2. pallas_stream: the decode kernel's exact DMA pattern (double-
+     buffered chunked HBM->VMEM copies over a flattened (row, chunk)
+     schedule, one program) with the per-chunk compute replaced by a
+     single-element tap — pure transfer + pipeline machinery.
+
+If pallas_stream lands near xla_sum and near the spec sheet, the 679
+number is the platform and the headline is at its floor; if
+pallas_stream beats 679 materially, the decode kernel is leaving
+bandwidth on the table and the ≤3 s exact target is still live.
+
+Run (exclusive TPU): python -m tools.dma_wire_probe [gib] [chunk]
+"""
+import functools
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+HD = 1024   # headline row width (16 heads x 64)
+
+
+def _stream_kernel(hbm, o_ref, buf, sem, *, chunk, nchunks, depth):
+    def copy(slot, c):
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(c * chunk, chunk)], buf.at[slot], sem.at[slot])
+
+    for i in range(depth - 1):
+        copy(i, i).start()
+
+    def body(c, acc):
+        slot = c % depth
+
+        @pl.when(c + depth - 1 < nchunks)
+        def _():
+            copy((c + depth - 1) % depth, c + depth - 1).start()
+
+        copy(slot, c).wait()
+        # single-element tap: forces the wait ordering, costs no
+        # bandwidth-visible VPU time
+        return acc + buf[slot][0, :1].astype(jnp.float32)
+
+    acc = jax.lax.fori_loop(0, nchunks, body, jnp.zeros((1,), jnp.float32))
+    o_ref[0] = acc
+
+
+def pallas_stream(x2d: jax.Array, chunk: int, depth: int = 2) -> jax.Array:
+    n, hd = x2d.shape
+    assert n % chunk == 0, (n, chunk)
+    nchunks = n // chunk
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((depth, chunk, hd), x2d.dtype),
+            pltpu.SemaphoreType.DMA((depth,)),
+        ],
+    )
+    kernel = functools.partial(_stream_kernel, chunk=chunk,
+                               nchunks=nchunks, depth=depth)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        grid_spec=grid_spec,
+    )(x2d)
+
+
+def main():
+    gib = float(sys.argv[1]) if len(sys.argv) > 1 else 4.0
+    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    log(f"devices: {jax.devices()}  buffer {gib} GiB, chunk {chunk}")
+
+    for dtype, name in ((jnp.bfloat16, "bf16"), (jnp.int8, "int8")):
+        itemsize = jnp.dtype(dtype).itemsize
+        rows = int(gib * (1 << 30) / (HD * itemsize))
+        rows -= rows % chunk
+        nbytes = rows * HD * itemsize
+        x = jnp.zeros((rows, HD), dtype)
+        n_iter = 8
+
+        @jax.jit
+        def xla_sum(x):
+            def body(i, acc):
+                # i-dependence defeats loop-invariant hoisting
+                return acc + jnp.sum(x.astype(jnp.float32)) + i
+            return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0))
+
+        jax.device_get(xla_sum(x))
+        t0 = time.time()
+        jax.device_get(xla_sum(x))
+        dt = time.time() - t0
+        log(f"{name} xla_sum:       {n_iter * nbytes / dt / 1e9:6.0f} GB/s "
+            f"({dt / n_iter * 1e3:.1f} ms/pass over {nbytes / 1e9:.2f} GB)")
+
+        @jax.jit
+        def stream(x):
+            def body(i, acc):
+                return acc + pallas_stream(x, chunk)[0, 0] + i
+            return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0))
+
+        jax.device_get(stream(x))
+        t0 = time.time()
+        jax.device_get(stream(x))
+        dt = time.time() - t0
+        log(f"{name} pallas_stream: {n_iter * nbytes / dt / 1e9:6.0f} GB/s "
+            f"({dt / n_iter * 1e3:.1f} ms/pass)")
+    print("DMA-WIRE-PROBE-OK")
+
+
+if __name__ == "__main__":
+    main()
