@@ -31,9 +31,15 @@ def _log(msg: str) -> None:
 from meshanything_tpu.config import MeshAnythingConfig
 
 
-def grid_mesh(rng: np.random.Generator, k: int = 5, smooth: int = 2):
+def grid_mesh(rng: np.random.Generator, k: int = 5, smooth: int = 2,
+              jitter: float = 0.0):
     """A (k x k) height-field terrain: the canonical structured artist
-    mesh (shared vertices between adjacent faces)."""
+    mesh (shared vertices between adjacent faces).
+
+    jitter > 0 perturbs every vertex coordinate with Gaussian noise of
+    that scale AFTER smoothing — each draw then has unique, unmemorizable
+    coordinates while the face/topology grammar stays fixed (the
+    higher-entropy training task of VERDICT r4 #7)."""
     xs = np.linspace(-0.4, 0.4, k)
     zs = np.linspace(-0.4, 0.4, k)
     h = rng.normal(size=(k, k)) * 0.1
@@ -41,6 +47,8 @@ def grid_mesh(rng: np.random.Generator, k: int = 5, smooth: int = 2):
         h = 0.25 * (np.roll(h, 1, 0) + np.roll(h, -1, 0)
                     + np.roll(h, 1, 1) + np.roll(h, -1, 1))
     vertices = np.array([[xs[i], h[i, j], zs[j]] for i in range(k) for j in range(k)])
+    if jitter > 0:
+        vertices = vertices + rng.normal(size=vertices.shape) * jitter
     faces = []
     for i in range(k - 1):
         for j in range(k - 1):
@@ -61,7 +69,8 @@ def mesh_to_token_stream(vertices: np.ndarray, faces: np.ndarray,
 
 def make_grammar_batch(cfg: MeshAnythingConfig, rng: np.random.Generator,
                        batch: int, k: int = 5,
-                       mask_padding: bool = False) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+                       mask_padding: bool = False,
+                       jitter: float = 0.0) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Teacher-forcing batch over synthetic meshes: real surface-sampled
     point clouds as conditions, [bos, face tokens..., eos] streams
     padded with eos to generate_length.
@@ -78,7 +87,7 @@ def make_grammar_batch(cfg: MeshAnythingConfig, rng: np.random.Generator,
     bins = cfg.nrd.discrete_num
     pcs, streams, lengths = [], [], []
     for _ in range(batch):
-        v, f = grid_mesh(rng, k=k)
+        v, f = grid_mesh(rng, k=k, jitter=jitter)
         toks = mesh_to_token_stream(v, f, bins)
         # clip vocab for small test configs
         toks = np.minimum(toks, cfg.opt.vocab_size - 1)
@@ -102,7 +111,7 @@ def make_grammar_batch(cfg: MeshAnythingConfig, rng: np.random.Generator,
 def train_on_grammar(cfg: MeshAnythingConfig, steps: int = 200, batch: int = 8,
                      k: int = 5, seed: int = 0, lr: float = 3e-3,
                      refresh_every: int = 0, verbose: bool = False,
-                     mask_padding: bool = False):
+                     mask_padding: bool = False, jitter: float = 0.0):
     """Train a MeshAnything decoder on the grammar; returns
     (params, final_loss).
 
@@ -148,7 +157,8 @@ def train_on_grammar(cfg: MeshAnythingConfig, steps: int = 200, batch: int = 8,
     def draw():
         kk = k if isinstance(k, int) else int(rng.integers(k[0], k[1] + 1))
         pc, ids, labels = make_grammar_batch(cfg, rng, batch, k=kk,
-                                             mask_padding=mask_padding)
+                                             mask_padding=mask_padding,
+                                             jitter=jitter)
         return jnp.asarray(pc), jnp.asarray(ids), jnp.asarray(labels)
 
     pc, ids, labels = draw()
@@ -247,7 +257,7 @@ def _unflatten_tree(flat):
 
 def get_trained_350m(steps: int = 600, batch: int = 4, n_max_triangles: int = 100,
                      lr: float = 1e-3, seed: int = 0,
-                     cache: str | None = None):
+                     cache: str | None = None, variant: str = "fixed"):
     """Load-or-train the full 350M architecture on the face grammar;
     returns (bf16 params, cfg). ``cache`` (default the
     GRAMMAR_PROBE_CACHE env var, falling back to a /tmp path KEYED BY
@@ -266,9 +276,12 @@ def get_trained_350m(steps: int = 600, batch: int = 4, n_max_triangles: int = 10
     cfg = MeshAnythingConfig(n_max_triangles=n_max_triangles)
     t0 = time.time()
     if cache is None:
+        tag = "" if variant == "fixed" else f"_{variant}"
         default = (f"/tmp/grammar350m_s{steps}b{batch}"
-                   f"n{n_max_triangles}lr{lr:g}seed{seed}.npz")
-        cache = os.environ.get("GRAMMAR_PROBE_CACHE", default)
+                   f"n{n_max_triangles}lr{lr:g}seed{seed}{tag}.npz")
+        cache = os.environ.get(
+            "GRAMMAR_PROBE_CACHE" if variant == "fixed" else "GRAMMAR_PROBE_CACHE_NOISY",
+            default)
     if cache and os.path.exists(cache):
         flat = np.load(cache)
         params = _unflatten_tree({k: jnp.asarray(v) for k, v in flat.items()})
@@ -282,9 +295,23 @@ def get_trained_350m(steps: int = 600, batch: int = 4, n_max_triangles: int = 10
         # tail labeled, the optimizer settles into a structure-only
         # attractor (total loss 1.42 = content at near-uniform) whose
         # greedy decode emits eos immediately after bos.
-        params, loss = train_on_grammar(
-            cfg, steps=steps, batch=batch, k=5, seed=seed, lr=lr,
-            refresh_every=0, verbose=True, mask_padding=True)
+        if variant == "noisy":
+            # Higher-entropy task (VERDICT r4 #7): per-vertex coordinate
+            # jitter + a fresh mesh batch every 25 steps — the model can
+            # learn the face grammar and the vertex-sharing structure
+            # but cannot memorize coordinates, so held-out Jacobi
+            # acceptance is a MEASUREMENT of mispredict-recovery
+            # dynamics, not a near-degenerate replay (the fixed-batch
+            # probe accepts ~7.9/8).
+            params, loss = train_on_grammar(
+                cfg, steps=steps, batch=batch, k=5, seed=seed, lr=lr,
+                refresh_every=25, verbose=True, mask_padding=True,
+                jitter=0.03)
+        else:
+            assert variant == "fixed", variant
+            params, loss = train_on_grammar(
+                cfg, steps=steps, batch=batch, k=5, seed=seed, lr=lr,
+                refresh_every=0, verbose=True, mask_padding=True)
         _log(f"trained 350M on grammar: loss {loss:.4f} in {time.time() - t0:.0f}s")
         if cache:
             np.savez(cache, **_flatten_tree(params))
@@ -308,7 +335,7 @@ class TrainedLookaheadProbe:
     skipped 5 s short of its estimate."""
 
     def __init__(self, window: int = 8, bucket: int = 512, seed: int = 0,
-                 cache: str | None = None):
+                 cache: str | None = None, variant: str = "fixed"):
         import time
 
         import jax
@@ -319,10 +346,13 @@ class TrainedLookaheadProbe:
         from meshanything_tpu.models import shape_opt as sopt
 
         self.window, self.bucket = window, bucket
-        params, cfg = get_trained_350m(seed=seed, cache=cache)
+        params, cfg = get_trained_350m(seed=seed, cache=cache, variant=variant)
         self.params, self.cfg = params, cfg
+        # held-out conditions from the TRAINING distribution (jittered
+        # for the noisy variant — unjittered meshes would be OOD)
         held_pc, _, _ = make_grammar_batch(
-            cfg, np.random.default_rng(seed + 99), 2, k=5)
+            cfg, np.random.default_rng(seed + 99), 2, k=5,
+            jitter=0.03 if variant == "noisy" else 0.0)
         self.attn = "pallas" if jax.default_backend() == "tpu" else "xla"
         dtype = params["opt"]["cond_embed"].dtype
         pcj = jnp.asarray(held_pc, dtype)
