@@ -63,25 +63,27 @@ def _unpack4(tile, out_dtype):
 
     Routes on the tile dtype (the packing contract of ops/kvcache.py):
 
-      * int32 = BYTE-PLANE words (the default): 8 (shift, mask,
-        sign-fix) chains, each on D//8 elements — no int8->int32 widen
-        relayout (the DMA already delivered natively-tiled int32), and
-        every plane lands as a contiguous lane-aligned column block so
-        reassembly is one concat. The top plane rides a single
-        arithmetic shift (sign extension for free).
+      * int32 = NIBBLE-PLANE words (the default): TWO vector ops per
+        plane on natively-tiled int32 (no int8->int32 widen relayout),
+        and every plane lands as a contiguous lane-aligned column
+        block so reassembly is one concat. Measured 1.07x over the
+        legacy unpack on the shipping pipelined kernel
+        (tools/int4_plane_probe.py, PERF.md r5).
       * int8 = legacy nibble pairs: int32 widen + split + sign-fix +
         concat (the measured VPU residual of the r4 int4 kernel,
         PERF.md r4 — kept for A/B probes).
     """
     if tile.dtype == jnp.int32:
+        # 2 ops/plane: shift the nibble to the sign position, then
+        # arithmetic-shift down — sign extension rides the shift, no
+        # mask/xor/sub chain. Concat in int32 and cast ONCE after:
+        # full-lane int32 planes concat as pure vreg renumbering,
+        # while casting per-plane first turns the concat into a
+        # sublane relayout (measured 284 -> 324 us/call, PERF.md r5).
         planes = []
         for p in range(8):
-            if p == 7:
-                t = jax.lax.shift_right_arithmetic(tile, 28)
-            else:
-                sh = jax.lax.shift_right_logical(tile, 4 * p) if p else tile
-                t = jnp.bitwise_xor(jnp.bitwise_and(sh, 15), 8) - 8
-            planes.append(t)
+            up = jax.lax.shift_left(tile, 4 * (7 - p)) if p != 7 else tile
+            planes.append(jax.lax.shift_right_arithmetic(up, 28))
         return jnp.concatenate(planes, axis=-1).astype(out_dtype)
     raw = tile.astype(jnp.int32)
     hi = jax.lax.shift_right_arithmetic(raw, 4)

@@ -60,17 +60,21 @@ def quantize_rows(rows: jax.Array) -> Tuple[jax.Array, jax.Array]:
 # distinguished by the packed array's DTYPE so every consumer routes
 # automatically:
 #
-#   * BYTE-PLANE ("plane", int32, the default): the packed row is D//8
-#     int32 WORDS; nibble p (bits [4p, 4p+4)) of word w holds original
-#     column p*(D//8) + w as 4-bit two's complement in [-7, 7]. The
-#     kernel unpack is then 8 lane-aligned (shift, mask, sign-fix)
-#     chains each touching D//8 elements — 1/4 of the elements the
-#     legacy unpack widened — and NO int8->int32 relayout: the DMA
-#     delivers natively-tiled int32. Plane p's extraction yields the
-#     contiguous column block [p*D//8, (p+1)*D//8), so reassembly is a
-#     lane-aligned concat, never an interleave. This is the byte-plane
-#     contract of VERDICT r4 #1 (the measured residual of the int4
-#     kernel was the VPU nibble unpack, PERF.md r4).
+#   * NIBBLE-PLANE ("plane", int32, the default): the packed row is
+#     D//8 int32 WORDS; nibble p (bits [4p, 4p+4)) of word w holds
+#     original column p*(D//8) + w as 4-bit two's complement in
+#     [-7, 7]. The kernel unpack is then TWO vector ops per plane
+#     (shift the nibble to the sign position, arithmetic-shift down —
+#     sign extension rides the shift) on natively-tiled int32 with NO
+#     int8->int32 widen, and plane p extracts the contiguous column
+#     block [p*D//8, (p+1)*D//8), so reassembly is a lane-aligned
+#     concat (cast per-plane first — the copy moves matmul-dtype
+#     bytes), never an interleave. This is the packing contract of
+#     VERDICT r4 #1; measured on-chip (tools/int4_plane_probe.py):
+#     1.07x over the legacy nibble-pair unpack on the shipping
+#     pipelined single-query kernel (306 -> 284 us/call at B=16 ctx
+#     7168, 417 GB/s packed), 1.01x on the W=8 MQ kernel (which is
+#     window-matmul-bound, not unpack-bound), bit-identical outputs.
 #
 #   * LEGACY nibble-pair ("nibble", int8): byte j of a packed (..., D//2)
 #     row holds column j in its LOW nibble and column j + D//2 in its
