@@ -393,9 +393,13 @@ def _opt_layer_decode(cfg: ShapeOPTConfig, kv_slice_len: int, attn: str = "xla",
         elif attn == "pallas":
             from meshanything_tpu.ops.decode_attention import decode_attention_impl
 
+            # pipelined: bit-identical to the grid kernel on-chip at the
+            # headline 11.25 GiB cache (max abs diff 0.0, PERF.md r5)
+            # and 681 -> 662 us/call — the per-row prologue stall is
+            # paid once per call instead of B times
             o = decode_attention_impl(
                 q[:, 0], kv, layer_idx, write_pos + 1,
-                chunk=chunk, interpret=interpret,
+                chunk=chunk, interpret=interpret, pipelined=True,
             )[:, None]  # (B, 1, H, D)
         else:
             # static-size window reads; the dynamic layer index slices

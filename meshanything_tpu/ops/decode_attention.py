@@ -114,6 +114,7 @@ def _flash_decode_kernel(
     windowed: bool = False,
     mm_s8: bool = False,
     fused_dma: bool = False,
+    pv_bf16: bool = False,
 ):
     refs = list(refs)
     # mm_s8 (quantized paths): contract the int8/int4 CODES directly on
@@ -268,9 +269,13 @@ def _flash_decode_kernel(
     # p.V matmul dtype: quantized tiers (already approximate by the
     # cache codes, >=0.4% elementwise) run it in mm_dtype — the bf16
     # rounding of p (2^-9 relative) is within the tier's noise and buys
-    # the native-MXU pass. The exact bf16 tiers keep p in f32 so their
-    # token streams are untouched.
-    lowp = quantized and mm_dtype != jnp.float32
+    # the native-MXU pass. The exact bf16 tiers keep p in f32 by
+    # default so their token streams are untouched; pv_bf16 opts the
+    # unquantized path into the same bf16-P contract flash-attn-2 uses
+    # (fp16 P tile into the PV matmul, f32 accumulate — the reference's
+    # own kernel, flash_attn interface in shape_opt.py:347-357), which
+    # skips the multi-pass f32 MXU decomposition.
+    lowp = (quantized or pv_bf16) and mm_dtype != jnp.float32
 
     def logits_of(k):
         # k: (N, HD) loaded tile -> masked-input logits (rows, N)
@@ -411,6 +416,7 @@ def _flash_decode(
     win_scales=None,                   # (wks, wvs): (B, 1, W) f32 each
     mm_s8: bool = False,
     fused_dma: bool = False,
+    pv_bf16: bool = False,
 ) -> jax.Array:
     """Shared pallas_call builder; returns (B, W, H, D).
 
@@ -540,7 +546,7 @@ def _flash_decode(
         _flash_decode_kernel, chunk=chunk, scale=scale,
         num_heads=h, window=w, quantized=quantized, bits=bits, depth=depth,
         grouped=grouped, windowed=windowed, mm_s8=mm_s8,
-        fused_dma=fused_dma,
+        fused_dma=fused_dma, pv_bf16=pv_bf16,
     )
     out_full = pl.pallas_call(
         kernel,
@@ -571,6 +577,8 @@ def _flash_decode_pipelined_kernel(
     bits: int,
     depth: int,
     batch: int,
+    split_planes: bool,
+    pv_bf16: bool = False,
 ):
     """Single-query decode with ONE continuous DMA pipeline over the
     flattened (row, chunk) schedule. The grid=(B,) kernel pays a fixed
@@ -579,7 +587,16 @@ def _flash_decode_pipelined_kernel(
     chunk size / matmul dtype / DMA fusion moves it). Here rows share
     the pipeline: while row r's tail chunks compute, row r+1's first
     chunks are already in flight, so the per-row fixed cost is paid
-    once per call instead of B times."""
+    once per call instead of B times.
+
+    split_planes: issue the K and V tiles as two per-plane copies
+    instead of one strided 2-plane copy. REQUIRED for caches whose
+    K->V plane stride is >= 2^31 bytes: the strided descriptor's plane
+    offset wraps 32-bit arithmetic and the V tile silently reads the
+    wrong address (measured on-chip at the 11.25 GiB bf16 B=16 cache —
+    grid-vs-pipelined max abs 0.049, PERF.md r5; small caches are
+    bit-identical). The builder picks it automatically from the cache
+    byte size."""
     refs = list(refs)
     kv_hbm = refs.pop(0)
     scale_hbm = refs.pop(0) if quantized else None
@@ -606,10 +623,19 @@ def _flash_decode_pipelined_kernel(
         wrap = c2 >= nchunks(r)
         return jnp.where(wrap, r + 1, r), jnp.where(wrap, 0, c2)
 
-    def kv_copy(slot, r, c):
+    def kv_copies(slot, r, c):
         span = pl.ds(c * chunk, chunk)
-        return pltpu.make_async_copy(
-            kv_hbm.at[:, layer, r, span], kv_buf.at[slot], sem.at[slot, 0])
+        if split_planes:
+            return [
+                pltpu.make_async_copy(
+                    kv_hbm.at[0, layer, r, span], kv_buf.at[slot, 0],
+                    sem.at[slot, 0]),
+                pltpu.make_async_copy(
+                    kv_hbm.at[1, layer, r, span], kv_buf.at[slot, 1],
+                    sem.at[slot, 0]),
+            ]
+        return [pltpu.make_async_copy(
+            kv_hbm.at[:, layer, r, span], kv_buf.at[slot], sem.at[slot, 0])]
 
     def sc_copy(slot, r, c):
         span = pl.ds(c * chunk, chunk)
@@ -617,7 +643,8 @@ def _flash_decode_pipelined_kernel(
             scale_hbm.at[:, layer, r, 0, span], sc_buf.at[slot], sem.at[slot, 1])
 
     def issue(slot, r, c):
-        kv_copy(slot, r, c).start()
+        for cp in kv_copies(slot, r, c):
+            cp.start()
         if quantized:
             sc_copy(slot, r, c).start()
 
@@ -654,7 +681,8 @@ def _flash_decode_pipelined_kernel(
 
         ri2, ci2 = adv(ri, ci)
 
-        kv_copy(slot, r, c).wait()
+        for cp in kv_copies(slot, r, c):
+            cp.wait()
         if quantized:
             sc_copy(slot, r, c).wait()
 
@@ -676,7 +704,10 @@ def _flash_decode_pipelined_kernel(
         l_new = corr * l_prev[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
         if quantized:
             p = p * sc_buf[slot, 1:2]
-        lowp = quantized and mm_dtype != jnp.float32
+        # pv_bf16: the flash-attn-2 P contract for the exact tier (see
+        # _flash_decode_kernel) — skips the f32 MXU decomposition that
+        # makes this kernel compute-bound per chunk step.
+        lowp = (quantized or pv_bf16) and mm_dtype != jnp.float32
         if lowp:
             pv = jnp.dot(p.astype(mm_dtype), v, preferred_element_type=jnp.float32)
         else:
@@ -713,14 +744,25 @@ def _flash_decode_pipelined(
     interpret: bool,
     bits: int = 8,
     depth: int = 2,
+    split_planes: bool | None = None,
+    pv_bf16: bool = False,
 ) -> jax.Array:
-    """Continuous-pipeline single-query builder; returns (B, H, D)."""
+    """Continuous-pipeline single-query builder; returns (B, H, D).
+
+    split_planes: None (default) auto-selects per-plane K/V copies
+    whenever the cache's K->V plane stride reaches 2^31 bytes — the
+    single strided 2-plane descriptor wraps its plane offset in 32-bit
+    arithmetic there and silently streams V from the wrong address
+    (measured on-chip, PERF.md r5). Explicit True/False is for A/B
+    probes only."""
     b, h, d = q.shape
     hd = h * d
     quantized = kv_scales is not None
     packed_hd = _int4_packed_hd(hd, kv_values.dtype) if (quantized and bits == 4) else hd
     assert kv_values.shape[-1] == packed_hd, (kv_values.shape, h, d, bits)
     assert quantized or kv_values.dtype == q.dtype, (kv_values.dtype, q.dtype)
+    if split_planes is None:
+        split_planes = kv_values.nbytes // 2 >= 2**31
     scale = 1.0 / math.sqrt(d)
     base = jnp.broadcast_to(jnp.asarray(cur_len, jnp.int32) - 1, (b,))
 
@@ -750,6 +792,7 @@ def _flash_decode_pipelined(
     kernel = functools.partial(
         _flash_decode_pipelined_kernel, chunk=chunk, scale=scale,
         quantized=quantized, bits=bits, depth=depth, batch=b,
+        split_planes=split_planes, pv_bf16=pv_bf16,
     )
     out_full = pl.pallas_call(
         kernel,
@@ -774,6 +817,9 @@ def decode_attention_impl(
     chunk: int = 512,
     interpret: bool = False,
     grouped: bool = False,
+    pipelined: bool = False,
+    split_planes: bool | None = None,
+    pv_bf16: bool = False,
 ) -> jax.Array:
     """Single-query cached attention. Plain (un-jitted) invocation for
     embedding inside larger compiled programs (the decode scan);
@@ -784,21 +830,44 @@ def decode_attention_impl(
     materialize a full-cache copy per call (measured: ~18 µs per
     context row per decode step — 150x the DMA cost).
 
-    The DMA pipeline runs at the fixed _flash_decode default depth=2:
-    depth 2/3/4 x chunk 256/512/1024 all measured 571-585 GB/s
-    (PERF.md r2 ablation), so the knob is not exposed here."""
+    pipelined: one continuous DMA schedule over all (row, chunk) pairs
+    instead of the grid=(B,) per-row pipeline. The grid kernel pays a
+    fixed ~16 µs of prologue stall per ROW per call; at B=16/ctx 7168
+    bf16 that is ~35% on top of the transfer time — the exact reason
+    the exact tier measured 679 GB/s while a pure double-buffered DMA
+    stream sustains 1054 GB/s on the same chip (tools/dma_wire_probe,
+    PERF.md r5). Bit-identical to the grid kernel
+    (tests/test_ops.py::test_decode_attention_pipelined_matches_flat).
+
+    pv_bf16: run the P.V matmul with a bf16 P tile (f32 accumulate) —
+    the same P precision flash-attn-2 feeds its PV matmul (the
+    reference's kernel runs P in fp16), instead of this kernel's
+    stricter f32-P default. On-chip the f32 PV decomposition is what
+    makes the bf16 kernel compute-bound per chunk step (709 GB/s vs
+    the 1054 GB/s pure-DMA wire rate, PERF.md r5)."""
+    if pipelined:
+        assert not grouped, "pipelined and grouped are separate layouts"
+        return _flash_decode_pipelined(q, kv_cache, None, layer, cur_len,
+                                       chunk=chunk, interpret=interpret,
+                                       split_planes=split_planes,
+                                       pv_bf16=pv_bf16)
     b = q.shape[0]
     base = jnp.broadcast_to(jnp.asarray(cur_len, jnp.int32) - 1, (b,))
     out = _flash_decode(q[:, None], kv_cache, None, layer, base,
-                        chunk=chunk, interpret=interpret, grouped=grouped)
+                        chunk=chunk, interpret=interpret, grouped=grouped,
+                        pv_bf16=pv_bf16)
     return out[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "interpret", "grouped"))
+@functools.partial(jax.jit,
+                   static_argnames=("chunk", "interpret", "grouped",
+                                    "pipelined", "pv_bf16"))
 def decode_attention(q, kv_cache, layer, cur_len, *, chunk: int = 512,
-                     interpret: bool = False, grouped: bool = False):
+                     interpret: bool = False, grouped: bool = False,
+                     pipelined: bool = False, pv_bf16: bool = False):
     return decode_attention_impl(q, kv_cache, layer, cur_len, chunk=chunk,
-                                 interpret=interpret, grouped=grouped)
+                                 interpret=interpret, grouped=grouped,
+                                 pipelined=pipelined, pv_bf16=pv_bf16)
 
 
 def decode_attention_mq_impl(
@@ -838,13 +907,15 @@ def decode_attention_int8_impl(
     grouped: bool = False,
     mm_s8: bool = False,
     pipelined: bool = False,
+    split_planes: bool | None = None,
 ) -> jax.Array:
     """int8-cache flash-decoding: halves the dominant HBM traffic of the
     full-length decode (PERF.md bottleneck model) for <1% attention
     error (per-row symmetric scales)."""
     if pipelined:
         return _flash_decode_pipelined(q, kv_values, kv_scales, layer, cur_len,
-                                       chunk=chunk, interpret=interpret)
+                                       chunk=chunk, interpret=interpret,
+                                       split_planes=split_planes)
     b = q.shape[0]
     base = jnp.broadcast_to(jnp.asarray(cur_len, jnp.int32) - 1, (b,))
     out = _flash_decode(q[:, None], kv_values, kv_scales, layer, base,
@@ -889,6 +960,7 @@ def decode_attention_int4_impl(
     mm_s8: bool = False,
     fused_dma: bool = False,
     pipelined: bool = False,
+    split_planes: bool | None = None,
 ) -> jax.Array:
     """int4-cache flash-decoding: QUARTERS the dominant KV traffic
     (2.73 TB/mesh exact, PERF.md bottleneck model). Packing contract in
@@ -896,7 +968,8 @@ def decode_attention_int4_impl(
     must be re-validated per model (tools/trained_agreement_probe.py)."""
     if pipelined:
         return _flash_decode_pipelined(q, kv_values, kv_scales, layer, cur_len,
-                                       chunk=chunk, interpret=interpret, bits=4)
+                                       chunk=chunk, interpret=interpret, bits=4,
+                                       split_planes=split_planes)
     b = q.shape[0]
     base = jnp.broadcast_to(jnp.asarray(cur_len, jnp.int32) - 1, (b,))
     out = _flash_decode(q[:, None], kv_values, kv_scales, layer, base,

@@ -584,9 +584,47 @@ def test_decode_attention_pipelined_matches_flat(rng):
     )
     from meshanything_tpu.ops.kvcache import quantize_rows, quantize_rows_int4
 
+    from meshanything_tpu.ops.decode_attention import decode_attention_impl
+
     B, H, D, S, L = 3, 4, 64, 256, 2
     q = jnp.asarray(rng.normal(size=(B, H, D)).astype(np.float32)).astype(jnp.bfloat16)
     kv = jnp.asarray(rng.normal(size=(2, L, B, S, H * D)).astype(np.float32) * 0.3)
+
+    # exact bf16 tier (unquantized cache): the headline decode path.
+    # split_planes=True is the big-cache DMA layout (per-plane copies —
+    # the strided 2-plane descriptor wraps its plane offset at >=2^31
+    # byte strides on real TPU, PERF.md r5); both layouts must be
+    # bit-identical to the grid kernel.
+    kv_bf16 = kv.astype(jnp.bfloat16)
+    for cur in (jnp.int32(7), jnp.int32(200),
+                jnp.asarray([3, 129, 255], jnp.int32)):
+        a = decode_attention_impl(q, kv_bf16, 1, cur, chunk=128,
+                                  interpret=True)
+        for split in (False, True):
+            b = decode_attention_impl(q, kv_bf16, 1, cur, chunk=128,
+                                      interpret=True, pipelined=True,
+                                      split_planes=split)
+            np.testing.assert_array_equal(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                err_msg=f"bf16 cur={cur} split={split}")
+
+    # pv_bf16 (the flash-attn-2 bf16-P contract for the exact tier):
+    # grid and pipelined must stay bit-identical to EACH OTHER, and
+    # both within bf16-P rounding of the f32-P kernel.
+    cur = jnp.asarray([3, 129, 255], jnp.int32)
+    ref = np.asarray(decode_attention_impl(
+        q, kv_bf16, 1, cur, chunk=128, interpret=True), np.float32)
+    g = decode_attention_impl(q, kv_bf16, 1, cur, chunk=128,
+                              interpret=True, pv_bf16=True)
+    p = decode_attention_impl(q, kv_bf16, 1, cur, chunk=128,
+                              interpret=True, pipelined=True, pv_bf16=True)
+    np.testing.assert_array_equal(np.asarray(g, np.float32),
+                                  np.asarray(p, np.float32),
+                                  err_msg="pv_bf16 grid vs pipelined")
+    np.testing.assert_allclose(np.asarray(g, np.float32), ref,
+                               atol=2e-2, rtol=2e-2,
+                               err_msg="pv_bf16 vs f32-P")
+
     for qrows, impl in ((quantize_rows, decode_attention_int8_impl),
                         (quantize_rows_int4, decode_attention_int4_impl)):
         values, scales = qrows(kv)
@@ -594,8 +632,9 @@ def test_decode_attention_pipelined_matches_flat(rng):
         for cur in (jnp.int32(7), jnp.int32(200),
                     jnp.asarray([3, 129, 255], jnp.int32)):
             a = impl(q, values, scales_t, 1, cur, chunk=128, interpret=True)
-            b = impl(q, values, scales_t, 1, cur, chunk=128, interpret=True,
-                     pipelined=True)
-            np.testing.assert_array_equal(
-                np.asarray(a, np.float32), np.asarray(b, np.float32),
-                err_msg=f"{impl.__name__} cur={cur}")
+            for split in (None, False, True):
+                b = impl(q, values, scales_t, 1, cur, chunk=128,
+                         interpret=True, pipelined=True, split_planes=split)
+                np.testing.assert_array_equal(
+                    np.asarray(a, np.float32), np.asarray(b, np.float32),
+                    err_msg=f"{impl.__name__} cur={cur} split={split}")
