@@ -570,34 +570,39 @@ def main():
         probe = None
         del probe
 
-    # --- NOISY grammar: the natural low acceptance band (VERDICT r4 #7) ---
+    # --- CHAIN grammar: the natural low acceptance band (VERDICT r4 #7) ---
     # The capped row above bounds wall-clock on a near-degenerate model;
-    # this one measures mispredict-recovery on a model whose coordinate
-    # predictions genuinely diverge (per-vertex jitter + refreshed train
-    # batches make coordinates unmemorizable). Training is cached in
-    # /tmp by tools/noisy_grammar_probe.py; a warm run pays load + eval
-    # (the lookahead/plain programs are shape-identical to the fixed
-    # probe's, so the compile service serves them from cache).
-    noisy_cache = os.environ.get(
-        "GRAMMAR_PROBE_CACHE_NOISY",
-        "/tmp/grammar350m_s600b4n100lr0.001seed0_noisy.npz")
-    noisy_est = 260 if os.path.exists(noisy_cache) else 900
-    if fits("trained lookahead NOISY (natural low band)", noisy_est):
+    # this one MEASURES mispredict-recovery on a model whose in-window
+    # predictions genuinely diverge: heights follow a fixed permutation
+    # orbit that exists only in the token stream (flat-plane condition),
+    # so each height token's argmax depends on the previous height token
+    # and stale Jacobi guesses flip downstream predictions. (The r5
+    # jitter variant failed to lower acceptance — 7.904, PERF.md r5:
+    # condition-determined coordinates keep greedy Jacobi-stable.)
+    # Training is cached in /tmp by tools/grammar_variant_probe.py; a
+    # warm run pays load + eval (the lookahead/plain programs are
+    # shape-identical to the fixed probe's, so the compile service
+    # serves them from cache).
+    chain_cache = os.environ.get(
+        "GRAMMAR_PROBE_CACHE_CHAIN",
+        "/tmp/grammar350m_s600b4n100lr0.001seed0_chain.npz")
+    chain_est = 260 if os.path.exists(chain_cache) else 900
+    if fits("trained lookahead CHAIN (natural low band)", chain_est):
         try:
             t0 = time.time()
             nprobe = TrainedLookaheadProbe(window=8, bucket=512,
-                                           variant="noisy")
+                                           variant="chain")
             nst = nprobe.run()
-            log(f"noisy-grammar lookahead: acceptance {nst['acceptance']:.2f}, "
+            log(f"chain-grammar lookahead: acceptance {nst['acceptance']:.2f}, "
                 f"agreement {nst['agreement']:.4f}, speedup "
                 f"{nst['speedup']:.2f}x ({time.time() - t0:.0f}s)")
-            emit("trained_la8_acceptance_noisy", nst["acceptance"],
+            emit("trained_la8_acceptance_low_natural", nst["acceptance"],
                  unit="tokens/forward", vs=nst["acceptance"])
-            emit("trained_la8_speedup_noisy", nst["speedup"], unit="x",
+            emit("trained_la8_speedup_low_natural", nst["speedup"], unit="x",
                  vs=nst["speedup"])
             nprobe = None
         except Exception as e:
-            log(f"noisy-grammar lookahead failed ({type(e).__name__}: {e})")
+            log(f"chain-grammar lookahead failed ({type(e).__name__}: {e})")
 
     log(f"bench done in {elapsed():.0f}s of {BUDGET_S:.0f}s budget")
     # headline re-emitted last by the atexit hook (_final_emit)

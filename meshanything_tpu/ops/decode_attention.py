@@ -820,6 +820,7 @@ def decode_attention_impl(
     pipelined: bool = False,
     split_planes: bool | None = None,
     pv_bf16: bool = False,
+    depth: int = 2,
 ) -> jax.Array:
     """Single-query cached attention. Plain (un-jitted) invocation for
     embedding inside larger compiled programs (the decode scan);
@@ -842,15 +843,16 @@ def decode_attention_impl(
     pv_bf16: run the P.V matmul with a bf16 P tile (f32 accumulate) —
     the same P precision flash-attn-2 feeds its PV matmul (the
     reference's kernel runs P in fp16), instead of this kernel's
-    stricter f32-P default. On-chip the f32 PV decomposition is what
-    makes the bf16 kernel compute-bound per chunk step (709 GB/s vs
-    the 1054 GB/s pure-DMA wire rate, PERF.md r5)."""
+    stricter f32-P default. Measured on-chip at the headline shape it
+    is a WASH (664 vs 662 us/call, bit-identical output): the f32 PV
+    decomposition is NOT the residual over the 1054 GB/s wire rate
+    (PERF.md r5)."""
     if pipelined:
         assert not grouped, "pipelined and grouped are separate layouts"
         return _flash_decode_pipelined(q, kv_cache, None, layer, cur_len,
                                        chunk=chunk, interpret=interpret,
                                        split_planes=split_planes,
-                                       pv_bf16=pv_bf16)
+                                       pv_bf16=pv_bf16, depth=depth)
     b = q.shape[0]
     base = jnp.broadcast_to(jnp.asarray(cur_len, jnp.int32) - 1, (b,))
     out = _flash_decode(q[:, None], kv_cache, None, layer, base,

@@ -58,6 +58,73 @@ def grid_mesh(rng: np.random.Generator, k: int = 5, smooth: int = 2,
     return vertices, np.asarray(faces, np.int64)
 
 
+_CHAIN_PERM_SEED = 1234567
+
+
+def _chain_perm(lo: int, hi: int) -> np.ndarray:
+    """The fixed pseudo-random bin permutation that defines the chain
+    grammar's height transitions (a grammar RULE, so it is shared by
+    every mesh and every batch — the model has to learn the table)."""
+    return np.random.default_rng(_CHAIN_PERM_SEED).permutation(
+        np.arange(lo, hi))
+
+
+def chain_grid_mesh(rng: np.random.Generator, k: int = 5, bins: int = 128):
+    """The chain grammar (VERDICT r4 #7): a (k x k) grid whose vertex
+    heights follow a fixed pseudo-random permutation orbit in BIN space
+    — bin(next new vertex) = PERM[bin(previous new vertex)] in stream
+    first-appearance order, start bin drawn per mesh — while the point
+    cloud is built from the FLAT base grid.
+
+    Why: the noisy-jitter variant failed to lower natural Jacobi
+    acceptance (measured 7.904, PERF.md r5) because the point-cloud
+    condition fully determines every coordinate, so greedy argmax is
+    condition-driven and stable under stale in-window context. Here the
+    heights exist ONLY in the token stream (the condition is a flat
+    plane): each new-vertex height token's argmax is a function of the
+    PREVIOUS height token ~9-18 positions back, so a stale Jacobi guess
+    upstream genuinely flips downstream predictions — mispredict
+    recovery becomes a measurement instead of a max_accept simulation.
+
+    Returns (v_tokens, v_pc, faces): v_tokens carries the walk (token
+    stream source), v_pc is the flat grid (condition source). Heights
+    are placed at exact bin centers so discretization is lossless."""
+    xs = np.linspace(-0.4, 0.4, k)
+    zs = np.linspace(-0.4, 0.4, k)
+    base = np.array([[xs[i], 0.0, zs[j]] for i in range(k) for j in range(k)])
+    faces = []
+    for i in range(k - 1):
+        for j in range(k - 1):
+            a = i * k + j
+            faces.append([a, a + 1, a + k])
+            faces.append([a + 1, a + k + 1, a + k])
+    faces = np.asarray(faces, np.int64)
+
+    # keep the walk inside the grid's coordinate envelope (|y| <= ~.36)
+    lo, hi = int(round(0.15 * bins)), int(round(0.85 * bins))
+    perm = _chain_perm(lo, hi)
+
+    # first-appearance order in the face serialization: the chain is a
+    # STREAM-local dependency (each new height token depends on the one
+    # that last appeared), which is what Jacobi windows break
+    order, seen = [], set()
+    for f in faces:
+        for vid in f:
+            if vid not in seen:
+                seen.add(vid)
+                order.append(int(vid))
+
+    vbins = np.empty(k * k, np.int64)
+    b = int(rng.integers(lo, hi))
+    for vid in order:
+        vbins[vid] = b
+        b = int(perm[b - lo])
+
+    v_tokens = base.copy()
+    v_tokens[:, 1] = (vbins + 0.5) / bins - 0.5
+    return v_tokens, base, faces
+
+
 def mesh_to_token_stream(vertices: np.ndarray, faces: np.ndarray,
                          bins: int = 128) -> np.ndarray:
     """Discretize + serialize like the real data: 9 tokens per face
@@ -70,7 +137,8 @@ def mesh_to_token_stream(vertices: np.ndarray, faces: np.ndarray,
 def make_grammar_batch(cfg: MeshAnythingConfig, rng: np.random.Generator,
                        batch: int, k: int = 5,
                        mask_padding: bool = False,
-                       jitter: float = 0.0) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+                       jitter: float = 0.0,
+                       chain: bool = False) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Teacher-forcing batch over synthetic meshes: real surface-sampled
     point clouds as conditions, [bos, face tokens..., eos] streams
     padded with eos to generate_length.
@@ -80,14 +148,24 @@ def make_grammar_batch(cfg: MeshAnythingConfig, rng: np.random.Generator,
     learnable eos, which dilutes the coordinate gradient — measured at
     350M the optimizer then settles into a structure-only attractor
     (content at near-uniform 4.4 nats, total 1.42) whose greedy decode
-    emits eos immediately."""
+    emits eos immediately.
+
+    chain: use the chain grammar (chain_grid_mesh) — token streams from
+    the permutation-walked mesh, point clouds from the flat base grid
+    (bins capped so the walk never hits the vocab clip below)."""
     from meshanything_tpu.geometry.sample import sample_surface_with_normals
 
     seq = cfg.generate_length
     bins = cfg.nrd.discrete_num
+    if chain:
+        bins = min(bins, cfg.opt.vocab_size - 4)
     pcs, streams, lengths = [], [], []
     for _ in range(batch):
-        v, f = grid_mesh(rng, k=k, jitter=jitter)
+        if chain:
+            v, v_pc, f = chain_grid_mesh(rng, k=k, bins=bins)
+        else:
+            v, f = grid_mesh(rng, k=k, jitter=jitter)
+            v_pc = v
         toks = mesh_to_token_stream(v, f, bins)
         # clip vocab for small test configs
         toks = np.minimum(toks, cfg.opt.vocab_size - 1)
@@ -97,7 +175,7 @@ def make_grammar_batch(cfg: MeshAnythingConfig, rng: np.random.Generator,
         stream[1:1 + n] = toks[:n]
         streams.append(stream)
         lengths.append(1 + n + 1)  # bos + content + one labeled eos
-        pcs.append(sample_surface_with_normals(v, f, cfg.perceiver.num_points, rng))
+        pcs.append(sample_surface_with_normals(v_pc, f, cfg.perceiver.num_points, rng))
     pc = np.stack(pcs).astype(np.float32)
     ids = np.stack(streams)
     labels = np.full((batch, cfg.cond_length + seq), -100, np.int32)
@@ -111,7 +189,8 @@ def make_grammar_batch(cfg: MeshAnythingConfig, rng: np.random.Generator,
 def train_on_grammar(cfg: MeshAnythingConfig, steps: int = 200, batch: int = 8,
                      k: int = 5, seed: int = 0, lr: float = 3e-3,
                      refresh_every: int = 0, verbose: bool = False,
-                     mask_padding: bool = False, jitter: float = 0.0):
+                     mask_padding: bool = False, jitter: float = 0.0,
+                     chain: bool = False):
     """Train a MeshAnything decoder on the grammar; returns
     (params, final_loss).
 
@@ -158,7 +237,7 @@ def train_on_grammar(cfg: MeshAnythingConfig, steps: int = 200, batch: int = 8,
         kk = k if isinstance(k, int) else int(rng.integers(k[0], k[1] + 1))
         pc, ids, labels = make_grammar_batch(cfg, rng, batch, k=kk,
                                              mask_padding=mask_padding,
-                                             jitter=jitter)
+                                             jitter=jitter, chain=chain)
         return jnp.asarray(pc), jnp.asarray(ids), jnp.asarray(labels)
 
     pc, ids, labels = draw()
@@ -279,9 +358,10 @@ def get_trained_350m(steps: int = 600, batch: int = 4, n_max_triangles: int = 10
         tag = "" if variant == "fixed" else f"_{variant}"
         default = (f"/tmp/grammar350m_s{steps}b{batch}"
                    f"n{n_max_triangles}lr{lr:g}seed{seed}{tag}.npz")
-        cache = os.environ.get(
-            "GRAMMAR_PROBE_CACHE" if variant == "fixed" else "GRAMMAR_PROBE_CACHE_NOISY",
-            default)
+        env = {"fixed": "GRAMMAR_PROBE_CACHE",
+               "noisy": "GRAMMAR_PROBE_CACHE_NOISY",
+               "chain": "GRAMMAR_PROBE_CACHE_CHAIN"}[variant]
+        cache = os.environ.get(env, default)
     if cache and os.path.exists(cache):
         flat = np.load(cache)
         params = _unflatten_tree({k: jnp.asarray(v) for k, v in flat.items()})
@@ -295,7 +375,19 @@ def get_trained_350m(steps: int = 600, batch: int = 4, n_max_triangles: int = 10
         # tail labeled, the optimizer settles into a structure-only
         # attractor (total loss 1.42 = content at near-uniform) whose
         # greedy decode emits eos immediately after bos.
-        if variant == "noisy":
+        if variant == "chain":
+            # Chain grammar (VERDICT r4 #7, second attempt): heights are
+            # a fixed permutation orbit that exists ONLY in the token
+            # stream (flat-plane condition) — the model must carry them
+            # through sequential context, so in-window Jacobi guesses
+            # genuinely flip downstream argmaxes. The jitter variant
+            # below failed to lower acceptance (7.904: the PC condition
+            # determines coordinates, greedy stays Jacobi-stable).
+            params, loss = train_on_grammar(
+                cfg, steps=steps, batch=batch, k=5, seed=seed, lr=lr,
+                refresh_every=25, verbose=True, mask_padding=True,
+                chain=True)
+        elif variant == "noisy":
             # Higher-entropy task (VERDICT r4 #7): per-vertex coordinate
             # jitter + a fresh mesh batch every 25 steps — the model can
             # learn the face grammar and the vertex-sharing structure
@@ -349,10 +441,12 @@ class TrainedLookaheadProbe:
         params, cfg = get_trained_350m(seed=seed, cache=cache, variant=variant)
         self.params, self.cfg = params, cfg
         # held-out conditions from the TRAINING distribution (jittered
-        # for the noisy variant — unjittered meshes would be OOD)
+        # for the noisy variant, flat-plane for the chain variant —
+        # conditions from another variant would be OOD)
         held_pc, _, _ = make_grammar_batch(
             cfg, np.random.default_rng(seed + 99), 2, k=5,
-            jitter=0.03 if variant == "noisy" else 0.0)
+            jitter=0.03 if variant == "noisy" else 0.0,
+            chain=variant == "chain")
         self.attn = "pallas" if jax.default_backend() == "tpu" else "xla"
         dtype = params["opt"]["cond_embed"].dtype
         pcj = jnp.asarray(held_pc, dtype)

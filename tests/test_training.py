@@ -361,3 +361,60 @@ def test_make_optimizer_clips_and_warms_up():
     for _ in range(60):
         updates2, state2 = opt2.update({"w": jnp.ones((2,))}, state2, {"w": jnp.ones((2,))})
     assert float(jnp.abs(updates2["w"]).max()) > 5e-4  # ~ full lr
+
+
+def test_chain_grammar_structure():
+    """The chain grammar (VERDICT r4 #7): heights follow the FIXED
+    permutation orbit in first-appearance order, start bin varies per
+    mesh, discretization is lossless, and the point cloud comes from the
+    FLAT base grid (the walk exists only in the token stream — that is
+    the whole point: the condition must carry zero height information so
+    in-window Jacobi guesses genuinely flip downstream argmaxes)."""
+    from meshanything_tpu.training.synthetic_grammar import (
+        _chain_perm,
+        chain_grid_mesh,
+        make_grammar_batch,
+        mesh_to_token_stream,
+    )
+
+    bins, k = 63, 5
+    v, v_pc, f = chain_grid_mesh(np.random.default_rng(0), k=k, bins=bins)
+    assert np.allclose(v_pc[:, 1], 0.0)                    # flat condition
+    assert np.allclose(v[:, [0, 2]], v_pc[:, [0, 2]])      # same x,z
+
+    # heights sit at exact bin centers -> lossless discretization
+    yb = np.clip(((v[:, 1] + 0.5) * bins).astype(np.int64), 0, bins - 1)
+    assert np.allclose((yb + 0.5) / bins - 0.5, v[:, 1])
+
+    # the orbit follows the fixed permutation in first-appearance order
+    lo, hi = int(round(0.15 * bins)), int(round(0.85 * bins))
+    perm = _chain_perm(lo, hi)
+    order, seen = [], set()
+    for face in f:
+        for vid in face:
+            if vid not in seen:
+                seen.add(int(vid))
+                order.append(int(vid))
+    seq = yb[order]
+    assert np.all((seq >= lo) & (seq < hi))
+    for a, b in zip(seq[:-1], seq[1:]):
+        assert perm[a - lo] == b
+
+    # different rng -> different start -> different orbit slice
+    v2, _, _ = chain_grid_mesh(np.random.default_rng(1), k=k, bins=bins)
+    assert not np.allclose(v[:, 1], v2[:, 1])
+
+    # batch plumbing: chain caps bins below the vocab clip, so the
+    # stream round-trips the walk exactly
+    import dataclasses
+
+    base_cfg = small_test_config(n_max_triangles=40)
+    cfg = dataclasses.replace(
+        base_cfg,
+        opt=dataclasses.replace(base_cfg.opt, vocab_size=67, codebook_size=64))
+    pc, ids, labels = make_grammar_batch(
+        cfg, np.random.default_rng(2), 2, k=k, mask_padding=True, chain=True)
+    toks = mesh_to_token_stream(v, f, bins)
+    assert toks.max() < cfg.opt.vocab_size
+    # conditions are flat-plane samples: y ~ 0 everywhere
+    assert np.abs(pc[..., 1]).max() < 1e-6

@@ -28,6 +28,7 @@ def log(*a):
 def main():
     from meshanything_tpu.ops.decode_attention import decode_attention_impl
 
+    mode = sys.argv[1] if len(sys.argv) > 1 else "full"
     log(f"devices: {jax.devices()}")
     B, H, D, L = 16, 16, 64, 24
     S = 7680
@@ -73,24 +74,45 @@ def main():
         log(f"{label:36s}: {dt / n_iter * 1e6:7.0f} us/call  {gbs:6.0f} GB/s")
         return gbs
 
-    bench("grid chunk=512 (shipping)", chunk=512)
-    bench("pipelined chunk=512", chunk=512, pipelined=True)
-    bench("pipelined chunk=1024", chunk=1024, pipelined=True)
-    bench("pipelined chunk=256", chunk=256, pipelined=True)
+    if mode == "full":
+        bench("grid chunk=512 (shipping)", chunk=512)
+        bench("pipelined chunk=512", chunk=512, pipelined=True)
+        bench("pipelined chunk=1024", chunk=1024, pipelined=True)
+        bench("pipelined chunk=256", chunk=256, pipelined=True)
 
-    # pv_bf16: the flash-attn-2 bf16-P contract — is the residual over
-    # the 1054 GB/s wire rate the f32 PV decomposition?
-    c = jax.device_get(jax.jit(functools.partial(
-        decode_attention_impl, chunk=512, pipelined=True, pv_bf16=True))(
-            q, kv, 3, small)).astype(np.float32)
-    md = np.abs(a - c).max()
-    rel = (np.abs(a - c) / (np.abs(a) + 1e-6)).max()
-    log(f"f32-P vs bf16-P max abs diff @cur={small}: {md:.3e} (rel {rel:.3e})")
-    bench("pipelined pv_bf16 chunk=512", chunk=512, pipelined=True,
-          pv_bf16=True)
-    bench("pipelined pv_bf16 chunk=1024", chunk=1024, pipelined=True,
-          pv_bf16=True)
-    bench("grid pv_bf16 chunk=512", chunk=512, pv_bf16=True)
+        # pv_bf16: the flash-attn-2 bf16-P contract — is the residual
+        # over the 1054 GB/s wire rate the f32 PV decomposition?
+        # MEASURED r5: no — 664 vs 662 us, a wash (bit-identical out).
+        c = jax.device_get(jax.jit(functools.partial(
+            decode_attention_impl, chunk=512, pipelined=True, pv_bf16=True))(
+                q, kv, 3, small)).astype(np.float32)
+        md = np.abs(a - c).max()
+        rel = (np.abs(a - c) / (np.abs(a) + 1e-6)).max()
+        log(f"f32-P vs bf16-P max abs diff @cur={small}: {md:.3e} (rel {rel:.3e})")
+        bench("pipelined pv_bf16 chunk=512", chunk=512, pipelined=True,
+              pv_bf16=True)
+        bench("pipelined pv_bf16 chunk=1024", chunk=1024, pipelined=True,
+              pv_bf16=True)
+        bench("grid pv_bf16 chunk=512", chunk=512, pv_bf16=True)
+    elif mode == "depth":
+        # residual hunt, part 2: with pv_bf16 a wash, is the ~1 us/chunk
+        # residual an overlap-depth problem (DMA completion jitter the
+        # 2-slot pipeline can't ride out)?
+        d3 = jax.device_get(jax.jit(functools.partial(
+            decode_attention_impl, chunk=512, pipelined=True, depth=3))(
+                q, kv, 3, small)).astype(np.float32)
+        md = np.abs(a - d3).max()
+        log(f"depth=2 vs depth=3 max abs diff @cur={small}: {md:.3e}")
+        assert md == 0.0, md
+        bench("pipelined depth=2 (baseline)", chunk=512, pipelined=True)
+        bench("pipelined depth=3", chunk=512, pipelined=True, depth=3)
+        bench("pipelined depth=4", chunk=512, pipelined=True, depth=4)
+        bench("pipelined depth=3 chunk=256", chunk=256, pipelined=True,
+              depth=3)
+        bench("pipelined depth=4 chunk=256", chunk=256, pipelined=True,
+              depth=4)
+        bench("pipelined depth=6 chunk=256", chunk=256, pipelined=True,
+              depth=6)
     print("BF16-PIPELINE-PROBE-OK")
 
 

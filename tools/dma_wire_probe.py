@@ -128,7 +128,98 @@ def main():
         dt = time.time() - t0
         log(f"{name} pallas_stream: {n_iter * nbytes / dt / 1e9:6.0f} GB/s "
             f"({dt / n_iter * 1e3:.1f} ms/pass)")
+
+    if len(sys.argv) > 3 and sys.argv[3] == "dual":
+        dual_modes(gib, chunk)
     print("DMA-WIRE-PROBE-OK")
+
+
+def _dual_kernel(x0, x1, o_ref, buf, sem, *, chunk, nchunks, depth, nsem):
+    """Two interleaved plane streams — the REAL decode-kernel pattern
+    (K chunk + V chunk per step, planes far apart in HBM, one or two
+    semaphores). The r5 compute-decomposition probe showed the full
+    kernel's tap mode runs at the full kernel's 705 GB/s, not the
+    single-stream 1054 GB/s — so the gap lives in this pattern."""
+    def copies(slot, c):
+        span = pl.ds(c * chunk, chunk)
+        return [
+            pltpu.make_async_copy(x0.at[span], buf.at[slot, 0], sem.at[slot, 0]),
+            pltpu.make_async_copy(x1.at[span], buf.at[slot, 1],
+                                  sem.at[slot, 1 % nsem]),
+        ]
+
+    for i in range(depth - 1):
+        for cp in copies(i, i):
+            cp.start()
+
+    def body(c, acc):
+        slot = c % depth
+
+        @pl.when(c + depth - 1 < nchunks)
+        def _():
+            for cp in copies((c + depth - 1) % depth, c + depth - 1):
+                cp.start()
+
+        for cp in copies(slot, c):
+            cp.wait()
+        return acc + buf[slot, 0][0, :1].astype(jnp.float32) \
+            + buf[slot, 1][0, :1].astype(jnp.float32)
+
+    acc = jax.lax.fori_loop(0, nchunks, body, jnp.zeros((1,), jnp.float32))
+    o_ref[0] = acc
+
+
+def dual_stream(x0, x1, chunk, depth=2, nsem=1):
+    n, hd = x0.shape
+    nchunks = n // chunk
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
+        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((depth, 2, chunk, hd), x0.dtype),
+            pltpu.SemaphoreType.DMA((depth, nsem)),
+        ],
+    )
+    kernel = functools.partial(_dual_kernel, chunk=chunk, nchunks=nchunks,
+                               depth=depth, nsem=nsem)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        grid_spec=grid_spec,
+    )(x0, x1)
+
+
+def dual_modes(gib, chunk):
+    """A/B the dual-plane stream against the single-stream wire rate."""
+    dtype = jnp.bfloat16
+    rows = int(gib * (1 << 30) / (HD * 2))
+    rows -= rows % chunk
+    nbytes = 2 * rows * HD * 2
+    # two separate device buffers = two far-apart HBM regions
+    x0 = jnp.zeros((rows, HD), dtype)
+    x1 = jnp.zeros((rows, HD), dtype)
+    n_iter = 8
+
+    def run(label, **kw):
+        @jax.jit
+        def f(x0, x1):
+            def body(i, acc):
+                return acc + dual_stream(x0, x1, chunk, **kw)[0, 0] + i
+            return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0))
+
+        jax.device_get(f(x0, x1))
+        t0 = time.time()
+        jax.device_get(f(x0, x1))
+        dt = time.time() - t0
+        log(f"{label}: {n_iter * nbytes / dt / 1e9:6.0f} GB/s "
+            f"({dt / n_iter * 1e3:.1f} ms/pass over {nbytes / 1e9:.2f} GB)")
+
+    run("dual far 1-sem depth=2 ", nsem=1)
+    run("dual far 2-sem depth=2 ", nsem=2)
+    run("dual far 2-sem depth=4 ", nsem=2, depth=4)
 
 
 if __name__ == "__main__":
