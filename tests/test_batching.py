@@ -38,12 +38,34 @@ def setup():
     return cfg, params
 
 
-def test_concurrent_requests_coalesce(setup, rng):
+@pytest.fixture
+def make_batcher():
+    """Construct BatchingRunners that are CLOSED at test teardown.
+
+    The r5 full-suite segfault dump (tools/xla_cpu_crash_repro findings,
+    conftest docstring) showed six leaked _loop worker threads — one per
+    test here — still alive inside a later module's XLA:CPU
+    backend_compile_and_load crash. Leaked daemon workers pin their
+    runner closures (params + executables) for the life of the process;
+    every test must close its batcher."""
+    created = []
+
+    def _make(*a, **kw):
+        b = BatchingRunner(*a, **kw)
+        created.append(b)
+        return b
+
+    yield _make
+    for b in created:
+        b.close()
+
+
+def test_concurrent_requests_coalesce(setup, rng, make_batcher):
     """Four concurrent submissions coalesce into fewer launches, each
     caller receives ITS OWN row, and results equal the unbatched path."""
     cfg, params = setup
     base = _CountingRunner(params, cfg)
-    batcher = BatchingRunner(base, batch_sizes=(1, 2, 4), max_wait_s=0.3)
+    batcher = make_batcher(base, batch_sizes=(1, 2, 4), max_wait_s=0.3)
 
     pcs = [rng.normal(size=(1, cfg.perceiver.num_points, 6)).astype(np.float32) * 0.5
            for _ in range(4)]
@@ -78,13 +100,13 @@ def test_concurrent_requests_coalesce(setup, rng):
                                       err_msg=f"request {i}")
 
 
-def test_close_stops_worker_thread(setup, rng):
+def test_close_stops_worker_thread(setup, rng, make_batcher):
     """close() terminates the worker (no immortal daemon pinning the
     runner's params), is idempotent, and a close racing an in-flight
     batch still serves that batch."""
     cfg, params = setup
     base = _CountingRunner(params, cfg)
-    batcher = BatchingRunner(base, batch_sizes=(1, 2), max_wait_s=0.2)
+    batcher = make_batcher(base, batch_sizes=(1, 2), max_wait_s=0.2)
     pc = rng.normal(size=(1, cfg.perceiver.num_points, 6)).astype(np.float32) * 0.5
 
     out = [None]
@@ -99,47 +121,47 @@ def test_close_stops_worker_thread(setup, rng):
     batcher.close()                    # idempotent
 
 
-def test_single_request_uses_small_program(setup, rng):
+def test_single_request_uses_small_program(setup, rng, make_batcher):
     """A lone request must not pay a padded max-batch decode."""
     cfg, params = setup
     base = _CountingRunner(params, cfg)
-    batcher = BatchingRunner(base, batch_sizes=(1, 4), max_wait_s=0.01)
+    batcher = make_batcher(base, batch_sizes=(1, 4), max_wait_s=0.01)
     pc = jnp.asarray(rng.normal(size=(1, cfg.perceiver.num_points, 6)).astype(np.float32))
     out = batcher(pc)
     assert out.token_ids.shape == (1, cfg.generate_length)
     assert base.calls == [1]
 
 
-def test_batch_failure_propagates(setup, rng):
+def test_batch_failure_propagates(setup, rng, make_batcher):
     cfg, params = setup
 
     class _Boom:
         def __call__(self, pc, **kw):
             raise RuntimeError("device fell over")
 
-    batcher = BatchingRunner(_Boom(), batch_sizes=(1, 2), max_wait_s=0.01)
+    batcher = make_batcher(_Boom(), batch_sizes=(1, 2), max_wait_s=0.01)
     pc = jnp.asarray(rng.normal(size=(1, cfg.perceiver.num_points, 6)).astype(np.float32))
     with pytest.raises(RuntimeError, match="device fell over"):
         batcher(pc)
 
 
-def test_prompt_requests_bypass_batching(setup, rng):
+def test_prompt_requests_bypass_batching(setup, rng, make_batcher):
     cfg, params = setup
     base = _CountingRunner(params, cfg)
-    batcher = BatchingRunner(base, batch_sizes=(1, 2), max_wait_s=0.01)
+    batcher = make_batcher(base, batch_sizes=(1, 2), max_wait_s=0.01)
     pc = jnp.asarray(rng.normal(size=(1, cfg.perceiver.num_points, 6)).astype(np.float32))
     out = batcher(pc, prompt_ids=jnp.zeros((1, 10), jnp.int32))
     assert out.token_ids.shape[0] == 1
     assert batcher.batch_calls == 0  # went straight through
 
 
-def test_sampling_requests_bypass_batching(setup, rng):
+def test_sampling_requests_bypass_batching(setup, rng, make_batcher):
     """A batched decode draws all rows from one key, which would discard
     every other member's seed — sampled requests must go straight
     through so each request's advertised seed governs its stream."""
     cfg, params = setup
     base = _CountingRunner(params, cfg)
-    batcher = BatchingRunner(base, batch_sizes=(1, 2), max_wait_s=0.01)
+    batcher = make_batcher(base, batch_sizes=(1, 2), max_wait_s=0.01)
     pc = jnp.asarray(rng.normal(size=(1, cfg.perceiver.num_points, 6)).astype(np.float32))
     out = batcher(pc, sampling=True, key=jax.random.PRNGKey(7))
     ref = ma.generate(params, cfg, pc, sampling=True,

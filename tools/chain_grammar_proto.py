@@ -6,7 +6,12 @@ acceptance on held-out conditions — validates that the chain design
 actually lowers acceptance below the saturated ~7.9/8 regime before we
 pay the ~10 min 350M TPU train.
 
-Run: python -m tools.chain_grammar_proto [steps]
+Run: python -m tools.chain_grammar_proto [steps] [fixed|rand]
+
+rand uses a per-mesh permutation (chain="rand") — the 350M-proof
+variant (the fixed global orbit is composable: the big model memorizes
+PERM^n and predicts window positions from pre-window context, measured
+7.904 acceptance, PERF.md r5).
 """
 import dataclasses
 import sys
@@ -20,6 +25,7 @@ jax.config.update("jax_platforms", "cpu")
 
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    chain = "rand" if len(sys.argv) > 2 and sys.argv[2] == "rand" else True
     from meshanything_tpu.config import small_test_config
     from meshanything_tpu.training.synthetic_grammar import (
         make_grammar_batch,
@@ -33,11 +39,11 @@ def main():
     )
     params, loss = train_on_grammar(
         cfg, steps=steps, batch=8, k=5, lr=3e-3, refresh_every=25,
-        mask_padding=True, chain=True, verbose=True)
+        mask_padding=True, chain=chain, verbose=True)
     print(f"final loss {loss:.4f}", flush=True)
 
     pc, _, _ = make_grammar_batch(cfg, np.random.default_rng(99), 2, k=5,
-                                  chain=True)
+                                  chain=chain)
     for w in (8, 16):
         stats = measure_lookahead_acceptance(params, cfg, pc, window=w,
                                              bucket=32)

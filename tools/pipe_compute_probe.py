@@ -1,20 +1,33 @@
-"""Decompose the pipelined bf16 decode kernel's per-chunk compute.
+"""Decompose the pipelined bf16 decode kernel's per-chunk cost.
 
-r5 established: the kernel moves bytes at 709 GB/s while the identical
-DMA schedule with compute replaced by a tap sustains 1054 GB/s
-(tools/dma_wire_probe), and the residual is a WASH under chunk size
-(256-1024), pipeline depth (2-6) and PV matmul dtype (pv_bf16) — i.e.
-the pipeline is COMPUTE-THROUGHPUT-bound: per-chunk compute (~3.0 us at
-chunk=512) exceeds per-chunk DMA (~2.0 us) and the DMA hides behind it.
+r5 measured, in order:
+  1. The kernel moves bytes at 709 GB/s while a single contiguous
+     stream sustains 1054 GB/s and TWO interleaved far-apart plane
+     streams (the kernel's actual pattern) sustain ~1900 GB/s
+     (tools/dma_wire_probe dual modes) — the v5e wire rate is ~1900,
+     not 679 as r4 assumed.
+  2. tap mode here (same machinery, compute replaced by a 1-element
+     tap) runs AT the full kernel's 666 us — compute is fully hidden;
+     the kernel is MACHINERY-bound at ~2.9 us/chunk-step where the
+     wire-probe's minimal dual-stream loop does 1.05 us/step.
 
-This probe carries a tools-local copy of the kernel body whose compute
-stage is selectable, to localize the 3 us:
+The compute modes localize nothing (all ~equal); the machinery modes
+bisect the ~1.8 us/step of scalar/VPU overhead vs the wire loop:
 
-  full     — the shipping compute (sanity: ~662 us/call)
-  tap      — wait + 1-element tap (sanity: ~wire rate)
-  qk       — QK matmul + mask + max only
-  pv       — PV matmul + acc only (constant P)
-  softmax  — mask/exp/stat chain only (constant logits)
+  full       — the shipping kernel body (sanity: ~662 us/call)
+  tap        — full machinery, 1-element tap compute (~666 us)
+  qk/pv/softmax — partial compute under full machinery
+  tap_unisched — tap + UNIFORM schedule: nchunks computed once into a
+               register (no per-step SMEM loads / cdiv; adv = 2 selects
+               on registers); valid for the exact tier where cur_len is
+               a broadcast scalar
+  tap_nocarry — tap + minimal while-loop carry (no (rows,*) wheres /
+               broadcasts / per-row o stores)
+  tap_flat   — tap + 2D flattened HBM addressing (one scalar offset per
+               descriptor instead of 4D .at[plane, layer, r, span])
+  tap_min    — all three machinery cuts combined (target: ~250 us)
+  full_min   — the real compute on the tap_min machinery (what the
+               shipping kernel could be for uniform base)
 
 Run (exclusive TPU): python -m tools.pipe_compute_probe [modes...]
 """
@@ -37,11 +50,18 @@ def log(*a):
 
 
 def _kernel(base_ref, layer_ref, qmat_ref, kv_hbm, o_ref, kv_buf, sem, *,
-            chunk, scale, depth, batch, mode):
+            chunk, scale, depth, batch, mode, seqlen, nlayers):
     layer = layer_ref[0]
     rows = o_ref.shape[1]
+    unisched = mode in ("tap_unisched", "tap_min", "full_min")
+    nocarry = mode in ("tap_nocarry", "tap_min")
+    flat = mode in ("tap_flat", "tap_min", "full_min")
+
+    nc_uni = pl.cdiv(base_ref[0] + 1, chunk)  # registered once
 
     def nchunks(r):
+        if unisched:
+            return nc_uni
         rr = jnp.minimum(r, batch - 1)
         return pl.cdiv(base_ref[rr] + 1, chunk)
 
@@ -50,22 +70,38 @@ def _kernel(base_ref, layer_ref, qmat_ref, kv_hbm, o_ref, kv_buf, sem, *,
         wrap = c2 >= nchunks(r)
         return jnp.where(wrap, r + 1, r), jnp.where(wrap, 0, c2)
 
-    def issue(slot, r, c):
+    plane_stride = nlayers * batch * seqlen  # rows between K and V planes
+
+    def copies(slot, r, c):
+        if flat:
+            off = (layer * batch + r) * seqlen + c * chunk
+            return [
+                pltpu.make_async_copy(kv_hbm.at[pl.ds(off, chunk)],
+                                      kv_buf.at[slot, 0], sem.at[slot, 0]),
+                pltpu.make_async_copy(kv_hbm.at[pl.ds(off + plane_stride, chunk)],
+                                      kv_buf.at[slot, 1], sem.at[slot, 0]),
+            ]
         span = pl.ds(c * chunk, chunk)
-        pltpu.make_async_copy(kv_hbm.at[0, layer, r, span], kv_buf.at[slot, 0],
-                              sem.at[slot, 0]).start()
-        pltpu.make_async_copy(kv_hbm.at[1, layer, r, span], kv_buf.at[slot, 1],
-                              sem.at[slot, 0]).start()
+        return [
+            pltpu.make_async_copy(kv_hbm.at[0, layer, r, span],
+                                  kv_buf.at[slot, 0], sem.at[slot, 0]),
+            pltpu.make_async_copy(kv_hbm.at[1, layer, r, span],
+                                  kv_buf.at[slot, 1], sem.at[slot, 0]),
+        ]
+
+    def issue(slot, r, c):
+        for cp in copies(slot, r, c):
+            cp.start()
 
     def wait(slot, r, c):
-        span = pl.ds(c * chunk, chunk)
-        pltpu.make_async_copy(kv_hbm.at[0, layer, r, span], kv_buf.at[slot, 0],
-                              sem.at[slot, 0]).wait()
-        pltpu.make_async_copy(kv_hbm.at[1, layer, r, span], kv_buf.at[slot, 1],
-                              sem.at[slot, 0]).wait()
+        for cp in copies(slot, r, c):
+            cp.wait()
 
-    total = jax.lax.fori_loop(
-        0, batch, lambda r, a: a + nchunks(r), jnp.zeros((), jnp.int32))
+    if unisched:
+        total = batch * nc_uni
+    else:
+        total = jax.lax.fori_loop(
+            0, batch, lambda r, a: a + nchunks(r), jnp.zeros((), jnp.int32))
 
     def pro(i, rc):
         r, c = rc
@@ -78,6 +114,34 @@ def _kernel(base_ref, layer_ref, qmat_ref, kv_hbm, o_ref, kv_buf, sem, *,
 
     ri0, ci0 = jax.lax.fori_loop(
         0, depth - 1, pro, (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)))
+
+    if nocarry:
+        # minimal carry: scalars + one (1, <=128) accumulator; no
+        # per-row resets/wheres/stores — isolates the carry cost
+        w = min(128, kv_buf.shape[-1])
+
+        def body_nc(t, st):
+            r, c, ri, ci, acc = st
+            slot = t % depth
+
+            @pl.when(t + depth - 1 < total)
+            def _():
+                issue((t + depth - 1) % depth, ri, ci)
+
+            ri2, ci2 = adv(ri, ci)
+            wait(slot, r, c)
+            acc = (acc + kv_buf[slot, 0][0:1, :w].astype(jnp.float32)
+                   + kv_buf[slot, 1][0:1, :w].astype(jnp.float32))
+            r2, c2 = adv(r, c)
+            return (r2, c2, ri2, ci2, acc)
+
+        z = jnp.zeros((), jnp.int32)
+        st = jax.lax.fori_loop(0, total, body_nc,
+                               (z, z, ri0, ci0,
+                                jnp.zeros((1, w), jnp.float32)))
+        o_ref[0] = jnp.broadcast_to(st[4][:, :1],
+                                    o_ref.shape[1:]).astype(o_ref.dtype)
+        return
 
     neg = jnp.full((rows, 128), NEG_INF, jnp.float32)
     zstat = jnp.zeros((rows, 128), jnp.float32)
@@ -100,12 +164,12 @@ def _kernel(base_ref, layer_ref, qmat_ref, kv_hbm, o_ref, kv_buf, sem, *,
 
         # taps below broadcast along ONE axis only (sublane OR lane):
         # Mosaic cannot broadcast a (1,1) in both dims at once
-        if mode == "tap":
+        if mode in ("tap", "tap_unisched", "tap_flat"):
             acc_new = (acc + k[0:1, :].astype(jnp.float32)
                        + v[0:1, :].astype(jnp.float32))
             m_new, l_new = m_prev, l_prev
         else:
-            if mode in ("full", "qk"):
+            if mode in ("full", "full_min", "qk"):
                 logits = jax.lax.dot_general(
                     qmat_r, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale
@@ -155,13 +219,16 @@ def _kernel(base_ref, layer_ref, qmat_ref, kv_hbm, o_ref, kv_buf, sem, *,
         jnp.zeros((), jnp.int32), ri0, ci0, zacc, neg, zstat))
 
 
-def build(q, kv, layer, cur_len, *, chunk, mode, depth=2):
+def build(q, kv, layer, cur_len, *, chunk, mode, depth=2, interpret=False):
     b, h, d = q.shape
     hd = h * d
     scale = 1.0 / np.sqrt(d)
     base = jnp.broadcast_to(jnp.asarray(cur_len, jnp.int32) - 1, (b,))
     eye = jnp.eye(h, dtype=q.dtype)
     qmat = jnp.einsum("ij,bjd->bijd", eye, q).reshape(b, h, hd)
+    _, nlayers, _, seqlen, _ = kv.shape
+    if mode in ("tap_flat", "tap_min", "full_min"):
+        kv = kv.reshape(-1, hd)  # free view: same HBM layout
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
@@ -178,16 +245,19 @@ def build(q, kv, layer, cur_len, *, chunk, mode, depth=2):
         ],
     )
     kernel = functools.partial(_kernel, chunk=chunk, scale=scale, depth=depth,
-                               batch=b, mode=mode)
+                               batch=b, mode=mode, seqlen=seqlen,
+                               nlayers=nlayers)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, h, hd), q.dtype),
         grid_spec=grid_spec,
+        interpret=interpret,
     )(base, jnp.asarray(layer, jnp.int32).reshape(1), qmat, kv)
 
 
 def main():
-    modes = sys.argv[1:] or ["tap", "qk", "softmax", "pv", "full"]
+    modes = sys.argv[1:] or ["tap", "tap_unisched", "tap_nocarry", "tap_flat",
+                             "tap_min", "full_min", "full"]
     log(f"devices: {jax.devices()}")
     B, H, D, L = 16, 16, 64, 24
     S, cur = 7680, 7168
@@ -200,6 +270,21 @@ def main():
 
     n_iter = 800
     bytes_per = 2 * cur * H * D * 2 * B
+    if "full_min" in modes:
+        # full_min must be numerically identical to full (same compute,
+        # cheaper machinery) — uniform base makes unisched exact.
+        # JIT both: the flat modes reshape kv and an UN-jitted reshape
+        # of the concrete 11.25 GiB cache materializes a copy (22.5 GiB
+        # -> ResourceExhausted); inside jit it is a free bitcast.
+        def _run(mode):
+            f = jax.jit(functools.partial(build, chunk=512, mode=mode))
+            return jax.device_get(f(q, kv, 3, cur))
+
+        a = _run("full")
+        bmin = _run("full_min")
+        md = np.abs(a.astype(np.float32) - bmin.astype(np.float32)).max()
+        log(f"full vs full_min max abs diff: {md:.3e}")
+        assert md == 0.0, md
     for mode in modes:
         @jax.jit
         def sweep(q, kv, mode=mode):
