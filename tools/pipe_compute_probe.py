@@ -1,18 +1,23 @@
 """Decompose the pipelined bf16 decode kernel's per-chunk cost.
 
 r5 measured, in order:
-  1. The kernel moves bytes at 709 GB/s while a single contiguous
-     stream sustains 1054 GB/s and TWO interleaved far-apart plane
-     streams (the kernel's actual pattern) sustain ~1900 GB/s
-     (tools/dma_wire_probe dual modes) — the v5e wire rate is ~1900,
-     not 679 as r4 assumed.
-  2. tap mode here (same machinery, compute replaced by a 1-element
-     tap) runs AT the full kernel's 666 us — compute is fully hidden;
-     the kernel is MACHINERY-bound at ~2.9 us/chunk-step where the
-     wire-probe's minimal dual-stream loop does 1.05 us/step.
+  1. tap mode (same machinery, compute replaced by a 1-element tap)
+     runs AT the full kernel's 662-667 us — compute is fully hidden;
+     the kernel is DMA/machinery-bound.
+  2. The machinery cuts are a WASH: tap_unisched 657, tap_flat 658,
+     full_min 658 vs full 659 us (full_min asserted bit-identical to
+     full on-chip). Neither the per-row cdiv schedule nor the 4D
+     address arithmetic costs anything measurable.
+  3. The "1054/1900 GB/s wire rate" this probe originally chased was
+     RETRACTED: the wire probe's timing loop was loop-invariant and
+     XLA hoisted the transfer out (PERF.md r5 take 2). An honest
+     (i-dependent) depth-2 wire loop sustains 481 GB/s — the shipping
+     kernel's 709 GB/s is already ABOVE the naive wire loop because it
+     keeps 4 DMAs in flight. v5e spec is 819 GB/s; the kernel sits at
+     ~87% of spec.
 
 The compute modes localize nothing (all ~equal); the machinery modes
-bisect the ~1.8 us/step of scalar/VPU overhead vs the wire loop:
+bisect scalar/VPU overhead vs the wire loop:
 
   full       — the shipping kernel body (sanity: ~662 us/call)
   tap        — full machinery, 1-element tap compute (~666 us)
@@ -139,7 +144,10 @@ def _kernel(base_ref, layer_ref, qmat_ref, kv_hbm, o_ref, kv_buf, sem, *,
         st = jax.lax.fori_loop(0, total, body_nc,
                                (z, z, ri0, ci0,
                                 jnp.zeros((1, w), jnp.float32)))
-        o_ref[0] = jnp.broadcast_to(st[4][:, :1],
+        # Mosaic can't broadcast (1,1) in both dims at once: sublane-
+        # broadcast via an add first, then lane-broadcast the column.
+        rows_full = st[4] + jnp.zeros((o_ref.shape[1], w), jnp.float32)
+        o_ref[0] = jnp.broadcast_to(rows_full[:, :1],
                                     o_ref.shape[1:]).astype(o_ref.dtype)
         return
 
