@@ -1,13 +1,19 @@
 """TPU probe: exact-bf16 decode kernel — grid-per-row vs continuous
 pipeline (VERDICT r4 #3 follow-through).
 
-The dma_wire_probe established the platform sustains ~1054 GB/s with
-the decode kernel's own double-buffered chunked DMA pattern, while the
-exact tier measures 679 GB/s. The r4 pipelined kernel (one flattened
-(row, chunk) DMA schedule, fixed per-row prologue stall paid once per
-call instead of B times) was only wired for the quantized tiers. This
-probe A/Bs it for the bf16 cache at the headline shape (B=16,
-ctx 7168) and sweeps chunk/depth.
+The r4 pipelined kernel (one flattened (row, chunk) DMA schedule,
+fixed per-row prologue stall paid once per call instead of B times)
+was only wired for the quantized tiers. This probe A/Bs it for the
+bf16 cache at the headline shape (B=16, ctx 7168) and sweeps
+chunk/depth.
+
+(History: this probe originally chased a "1054 GB/s wire rate" from
+dma_wire_probe — RETRACTED, the wire probe's timing loop was
+loop-invariant and XLA hoisted the transfer out; see PERF.md r5
+"take 2". Verdict from the full sweep here: grid->pipelined is the one
+real win (681 -> 659-662 us); chunk 256/512/1024, depth 2-6 and
+pv_bf16 are all washes; 709-713 GB/s = 87% of the 819 GB/s v5e spec is
+this pattern's practical ceiling.)
 
 Run (exclusive TPU): python -m tools.bf16_pipeline_probe
 """
