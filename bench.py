@@ -570,39 +570,52 @@ def main():
         probe = None
         del probe
 
-    # --- CHAIN grammar: the natural low acceptance band (VERDICT r4 #7) ---
-    # The capped row above bounds wall-clock on a near-degenerate model;
-    # this one MEASURES mispredict-recovery on a model whose in-window
-    # predictions genuinely diverge: heights follow a fixed permutation
-    # orbit that exists only in the token stream (flat-plane condition),
-    # so each height token's argmax depends on the previous height token
-    # and stale Jacobi guesses flip downstream predictions. (The r5
-    # jitter variant failed to lower acceptance — 7.904, PERF.md r5:
-    # condition-determined coordinates keep greedy Jacobi-stable.)
+    # --- CHAIN-RAND grammar: the adversarial-data acceptance row ----------
+    # (VERDICT r4 #7 closure — a MEASURED negative result.) Three
+    # grammar variants were built to force natural mid-band acceptance
+    # and ALL saturate on the converged 350M at 7.904 (PERF.md r5):
+    #   jitter    — condition-determined coordinates keep greedy
+    #               Jacobi-stable regardless of data entropy;
+    #   chain     — a FIXED permutation orbit is composable, so the
+    #               model memorizes PERM^n tables and predicts window
+    #               position i from pre-window context;
+    #   chainrand — a PER-MESH random orbit is unlearnable, so the
+    #               trained conditional is flat and its argmax is a
+    #               constant marginal mode — stable under stale
+    #               in-window guesses too.
+    # Mechanism: under self-generation a converged greedy model is
+    # Jacobi-stable for any LEARNABLE grammar (it composes n-step maps
+    # across the window) and for any UNLEARNABLE one (argmax = marginal
+    # mode). Natural mid-band acceptance requires a model that genuinely
+    # mispredicts its own greedy stream — i.e. real weights mid-training
+    # or real data ambiguity; the honest low BOUND stays the max_accept=4
+    # capped row above. This row is still emitted: it is the measured
+    # acceptance on the most adversarial data in the family (heights
+    # unpredictable-in-principle, flat-plane condition).
     # Training is cached in /tmp by tools/grammar_variant_probe.py; a
     # warm run pays load + eval (the lookahead/plain programs are
     # shape-identical to the fixed probe's, so the compile service
     # serves them from cache).
     chain_cache = os.environ.get(
-        "GRAMMAR_PROBE_CACHE_CHAIN",
-        "/tmp/grammar350m_s600b4n100lr0.001seed0_chain.npz")
+        "GRAMMAR_PROBE_CACHE_CHAINRAND",
+        "/tmp/grammar350m_s600b4n100lr0.001seed0_chainrand.npz")
     chain_est = 260 if os.path.exists(chain_cache) else 900
-    if fits("trained lookahead CHAIN (natural low band)", chain_est):
+    if fits("trained lookahead CHAIN-RAND (adversarial data)", chain_est):
         try:
             t0 = time.time()
             nprobe = TrainedLookaheadProbe(window=8, bucket=512,
-                                           variant="chain")
+                                           variant="chainrand")
             nst = nprobe.run()
-            log(f"chain-grammar lookahead: acceptance {nst['acceptance']:.2f}, "
+            log(f"chainrand-grammar lookahead: acceptance {nst['acceptance']:.2f}, "
                 f"agreement {nst['agreement']:.4f}, speedup "
                 f"{nst['speedup']:.2f}x ({time.time() - t0:.0f}s)")
-            emit("trained_la8_acceptance_low_natural", nst["acceptance"],
+            emit("trained_la8_acceptance_chainrand", nst["acceptance"],
                  unit="tokens/forward", vs=nst["acceptance"])
-            emit("trained_la8_speedup_low_natural", nst["speedup"], unit="x",
+            emit("trained_la8_speedup_chainrand", nst["speedup"], unit="x",
                  vs=nst["speedup"])
             nprobe = None
         except Exception as e:
-            log(f"chain-grammar lookahead failed ({type(e).__name__}: {e})")
+            log(f"chainrand-grammar lookahead failed ({type(e).__name__}: {e})")
 
     log(f"bench done in {elapsed():.0f}s of {BUDGET_S:.0f}s budget")
     # headline re-emitted last by the atexit hook (_final_emit)

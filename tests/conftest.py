@@ -43,14 +43,20 @@ def _clear_jax_caches_between_modules():
     keeps the in-process accumulation bounded; costs a few re-compiles
     of shared small programs.
 
-    Root-cause status (r5): a 600-program accumulation repro
+    Root-cause status (r5): NOT accumulation — a 600-program repro
     (tools/xla_cpu_crash_repro.py — scans, while_loops, donated
     buffers, interpret-Pallas, shard_map, all with unique constants)
     completes cleanly with LINEAR resource curves (~1.6 MB RSS and ~5
     VM maps per program; 65530 map limit, 126 GB RAM — no limit within
-    reach), so simple executable accumulation is NOT the mechanism.
-    Set MESHTPU_NO_CACHE_CLEAR=1 to disable this mitigation (used by
-    the full-suite crash-hunt run)."""
+    reach). The faulthandler crash-hunt then caught the segfault
+    inside backend_compile_and_load with SIX leaked
+    BatchingRunner._loop worker threads still alive from
+    test_batching — background threads running jitted programs
+    concurrently with a later module's compile. test_batching now
+    routes every runner through a closing fixture (the leak fix);
+    the mitigation stays because a thread-race segfault is
+    timing-dependent and one clean run is not proof. Set
+    MESHTPU_NO_CACHE_CLEAR=1 to disable it (crash-hunt runs)."""
     yield
     if not os.environ.get("MESHTPU_NO_CACHE_CLEAR"):
         jax.clear_caches()
