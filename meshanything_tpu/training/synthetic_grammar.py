@@ -98,10 +98,14 @@ def chain_grid_mesh(rng: np.random.Generator, k: int = 5, bins: int = 128,
     window position i from pre-window context alone, so stale in-window
     guesses never flip an argmax; the small CPU config, which cannot
     memorize the composed tables, measured 4.31). A per-mesh permutation
-    removes the memorizable rule entirely: each transition appears only
-    once per stream (permutation orbits don't repeat), so heights are
-    unpredictable-in-principle and the model's greedy argmax over them
-    is a genuine function of recent (in-window) context."""
+    removes the memorizable rule entirely — and MEASURED r5, the 350M
+    STILL saturates at 7.904: an unlearnable transition trains a ~flat
+    conditional whose argmax is a constant marginal mode, which is just
+    as Jacobi-stable as a memorized one. (The CPU prototype's 4.38 came
+    from an under-trained model with noisy conditionals.) Conclusion
+    recorded in PERF.md r5: converged greedy models are Jacobi-saturated
+    on both learnable AND unlearnable synthetic grammars; the honest low
+    band stays the max_accept cap."""
     xs = np.linspace(-0.4, 0.4, k)
     zs = np.linspace(-0.4, 0.4, k)
     base = np.array([[xs[i], 0.0, zs[j]] for i in range(k) for j in range(k)])
@@ -394,13 +398,14 @@ def get_trained_350m(steps: int = 600, batch: int = 4, n_max_triangles: int = 10
         # attractor (total loss 1.42 = content at near-uniform) whose
         # greedy decode emits eos immediately after bos.
         if variant in ("chain", "chainrand"):
-            # Chain grammar (VERDICT r4 #7, second attempt): heights are
-            # a fixed permutation orbit that exists ONLY in the token
-            # stream (flat-plane condition) — the model must carry them
-            # through sequential context, so in-window Jacobi guesses
-            # genuinely flip downstream argmaxes. The jitter variant
-            # below failed to lower acceptance (7.904: the PC condition
-            # determines coordinates, greedy stays Jacobi-stable).
+            # Chain grammar (VERDICT r4 #7, second/third attempts):
+            # heights are a permutation orbit that exists ONLY in the
+            # token stream (flat-plane condition). MEASURED r5: BOTH
+            # fail to lower 350M acceptance (7.904 each — chain is
+            # composable/memorizable, chainrand trains a flat
+            # conditional whose argmax is a constant mode; PERF.md r5
+            # "natural lookahead acceptance bands"). Kept as the
+            # adversarial-data acceptance row in bench.py.
             params, loss = train_on_grammar(
                 cfg, steps=steps, batch=batch, k=5, seed=seed, lr=lr,
                 refresh_every=25, verbose=True, mask_padding=True,

@@ -9,10 +9,15 @@ Variants:
           regardless of data entropy.
   chain — heights follow a fixed pseudo-random permutation orbit that
           exists ONLY in the token stream (the condition is a flat
-          plane): each new height token's argmax depends on the previous
-          height token ~9-18 positions back, so Jacobi windows genuinely
-          mispredict and recover. CPU prototype: 4.31 @ W=8 (vs 7.9
-          saturated), agreement 1.0000.
+          plane). MEASURED r5: FAILED (7.904) — a single global
+          permutation is composable; the 350M memorizes PERM^n and
+          predicts window positions from pre-window context. (CPU
+          prototype, too small to memoize: 4.31.)
+  chainrand — per-mesh random permutation (unlearnable in principle).
+          MEASURED r5: FAILED too (7.904) — the trained conditional is
+          ~flat and its argmax is a constant marginal mode, equally
+          Jacobi-stable. Full negative-result analysis: PERF.md r5
+          "natural lookahead acceptance bands".
 
 Trains (or loads the cached) variant 350M, then reports natural
 acceptance, agreement vs its own plain greedy, and wall-clock speedup.
