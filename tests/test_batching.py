@@ -171,10 +171,9 @@ def test_sampling_requests_bypass_batching(setup, rng, make_batcher):
     assert batcher.batch_calls == 0  # went straight through
 
 
-def test_serving_engine_batching_wires_up(setup, rng, tmp_path):
+def test_serving_engine_batching_wires_up(setup, rng, tmp_path, make_batcher):
     """ServingEngine(batching=2): two concurrent HTTP-level generations
     share one launch."""
-    from meshanything_tpu.runtime.batching import BatchingRunner as BR
     from meshanything_tpu.serving import ServingEngine
 
     cfg, params = setup
@@ -182,8 +181,11 @@ def test_serving_engine_batching_wires_up(setup, rng, tmp_path):
     engine = ServingEngine(params, cfg, bucket=16, runner=base,
                            artifacts_dir=str(tmp_path))
     # runner injection bypasses the batching flag; wrap manually the way
-    # the flag does to keep the test's launch counting
-    engine._runner = BR(base, batch_sizes=(1, 2), max_wait_s=0.3)
+    # the flag does to keep the test's launch counting. Built via the
+    # closing fixture: the r5 mitigation-off suite run STILL segfaulted
+    # with exactly one leaked _loop thread alive — this one (the other
+    # six constructions were already fixture-closed).
+    engine._runner = make_batcher(base, batch_sizes=(1, 2), max_wait_s=0.3)
 
     v = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
                   [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], float)
