@@ -108,13 +108,28 @@ def fits(name, est, reserve=0.0):
     return True
 
 
-def run_config(runner, pc, batch, label, gen_len, runs=1):
+def run_config(runner, pc, batch, label, gen_len, runs=1,
+               single_pass_if_warm=None):
     import jax
 
     t0 = time.time()
     out = runner(pc)
     jax.device_get(out.token_ids.ravel()[0])
-    log(f"{label}: compile+first run {time.time() - t0:.1f}s")
+    first = time.time() - t0
+    log(f"{label}: compile+first run {first:.1f}s")
+    if single_pass_if_warm is not None and first < single_pass_if_warm:
+        # The compile service served every program from cache, so the
+        # first call IS a clean timed run (dispatch overhead is <1% at
+        # these multi-second runtimes) — skip the second pass. Used for
+        # the most expensive rows (int4 B=64: ~115 s/run), where the
+        # extra pass is the difference between landing in the budget
+        # and being SKIP-logged out of the artifact (VERDICT r4 #5).
+        per_mesh = first / batch
+        log(f"{label}: single-pass timing (warm compile): "
+            f"{per_mesh:.3f}s/mesh")
+        log(f"meshes/min/chip: {60.0 / per_mesh:.1f}; "
+            f"AR tokens/sec/chip: {gen_len / per_mesh:.0f}")
+        return per_mesh
 
     times = []
     for i in range(runs):
@@ -221,7 +236,11 @@ def main():
             log(f"e2e fast fixture failed ({type(e).__name__}: {e})")
 
     # --- exact-tier fixture configs (BASELINE.json): real inputs ----------
-    if fits("e2e exact fixtures", 70):
+    # (defined here, CALLED from the demoted-repeats block at the end —
+    # both rows exist in BENCH_r04)
+    def e2e_exact_fixtures():
+        if not fits("e2e exact fixtures", 70):
+            return
         try:
             from meshanything_tpu.runtime.pipeline import load_inputs
 
@@ -286,7 +305,7 @@ def main():
 
     if fast_runner is not None:
         serving_roundtrip("serving_roundtrip_fast", fast_runner, est=30)
-    serving_roundtrip("serving_roundtrip", runner, est=50)
+    # (exact-tier round-trip demoted to the repeats block)
 
     # --- bandwidth-floor proof --------------------------------------------
     if fits("bandwidth floor", 60):
@@ -323,7 +342,7 @@ def main():
     # int8+la8 B=16 0.921, bf16+la8 B=8 1.567 — the fused window append
     # + grouped MQ matmuls removed the old dispatch overhead, and batch
     # scaling is monotone through B=48.
-    def latency_rows(rows, reserve=0.0):
+    def latency_rows(rows, reserve=0.0, single_pass_if_warm=None):
         for attn, batch, la, wq, metric, label, est in rows:
             if not fits(label, est, reserve=reserve):
                 continue
@@ -331,7 +350,8 @@ def main():
                 runner_la = PhaseRunner(params, cfg, bucket=512, attn=attn,
                                         lookahead=la, wq=wq,
                                         early_exit=(la > 0))
-                per_la = run_config(runner_la, make_pc(batch), batch, label, gl)
+                per_la = run_config(runner_la, make_pc(batch), batch, label, gl,
+                                    single_pass_if_warm=single_pass_if_warm)
                 emit(metric, per_la)
             except Exception as e:
                 log(f"{label} failed ({type(e).__name__}: {e})")
@@ -339,13 +359,11 @@ def main():
     latency_rows((
         ("pallas_int4", 24, 8, False, "mesh_latency_800f_int4_la8_b24",
          "int4+lookahead W=8 B=24", 70),
-        ("pallas_int8", 16, 8, False, "mesh_latency_800f_int8_la8_b16",
-         "int8+lookahead W=8 B=16", 60),
         ("pallas_int4", 48, 8, False, "mesh_latency_800f_int4_la8_b48",
          "int4+lookahead W=8 B=48 (throughput max)", 110),
-        ("pallas", 8, 8, False, "mesh_latency_800f_la8_b8",
-         "bf16+lookahead W=8 B=8", 60),
     ))
+    # (int8+la8 B=16 and bf16+la8 B=8 are demoted to the repeats block —
+    # both exist in BENCH_r04 with the same methodology)
 
     # --- examples/ folder with --mc (the 5th BASELINE config) -------------
     # watertight UDF grid at 2^7 + marching tetrahedra + sampling +
@@ -440,24 +458,24 @@ def main():
     # lookahead launch); the exact-tier row is kept for comparison.
     if fast_runner is not None:
         batched_serving("serving_batched_8x_fast", fast_runner, est=130)
-    batched_serving("serving_batched_8x", runner, est=150)
+    # (exact-tier batched row demoted to the repeats block)
 
-    # --- plain-quantized rows (driver-visible int4 B=64, VERDICT r4 #5) ----
-    # Moved AHEAD of the trained block (they were dead last in r4 and the
-    # B=64 row was budget-skipped out of the artifact), but each row
-    # reserves the trained block's estimate so it cannot starve the
-    # acceptance-band metrics that must stay last (non-preemptible
-    # training + fresh compiles). With the byte-plane int4 unpack the
-    # B=64 row is ~compile 130 s + 2 runs.
+    # --- int4 B=64 (driver-visible, VERDICT r4 #5) -------------------------
+    # Ahead of the trained block (it was dead last in r4 and
+    # budget-skipped out of the artifact) with the trained block's
+    # estimate reserved so it cannot starve the acceptance metrics.
+    # single_pass_if_warm: one ~115 s run is the measurement when the
+    # compile service is warm (r5 preflight: first-call 135 s warm vs
+    # 250+ cold); the threshold is comfortably under the cold first-call
+    # cost, so a cold run still gets the honest two-pass timing.
+    # (int8 B=16 plain is demoted to the repeats block.)
     cache_default = "/tmp/grammar350m_s600b4n100lr0.001seed0.npz"
     cache_path = os.environ.get("GRAMMAR_PROBE_CACHE", cache_default)
     train_est = 250 if os.path.exists(cache_path) else 700
     latency_rows((
         ("pallas_int4", 64, 0, False, "mesh_latency_800f_int4_b64",
-         "int4 KV B=64", 300),
-        ("pallas_int8", 16, 0, False, "mesh_latency_800f_int8_b16",
-         "int8 KV B=16", 120),
-    ), reserve=train_est)
+         "int4 KV B=64", 170),
+    ), reserve=train_est, single_pass_if_warm=200)
 
     # --- trained-weights lookahead (the honest exact-greedy claim) --------
     # random-weight lookahead acceptance is the degenerate best case
@@ -480,8 +498,8 @@ def main():
         TrainedLookaheadProbe,
     )
 
+    probe = None   # shared with the demoted W=16 row at the end
     if fits("trained lookahead (350M grammar)", train_est):
-        probe = None
         try:
             t0 = time.time()
             probe = TrainedLookaheadProbe(window=8, bucket=512)
@@ -502,7 +520,7 @@ def main():
         # so its marginal cost is one capped-lookahead compile + two
         # passes (vs a full second probe, which BENCH preflights showed
         # never fit the leftover budget)
-        if probe is not None and fits("trained lookahead LOW band (max_accept=4)", 120):
+        if probe is not None and fits("trained lookahead LOW band (max_accept=4)", 70):
             try:
                 t0 = time.time()
                 lo = probe.run(max_accept=4)
@@ -516,30 +534,12 @@ def main():
             except Exception as e:
                 log(f"trained lookahead low band failed ({type(e).__name__}: {e})")
 
-        # window-16 point of the sweep (PERF r4): on this (sharp) probe
-        # model acceptance is ~15.5/16 and speedup 10.7x — the
-        # single-request headroom case (--lookahead 16). Marginal cost:
-        # one W=16 lookahead compile + two passes on the shared probe.
-        if probe is not None and fits("trained lookahead W=16", 150):
-            try:
-                t0 = time.time()
-                w16 = probe.run(window=16)
-                log(f"trained lookahead W=16: acceptance {w16['acceptance']:.2f}, "
-                    f"agreement {w16['agreement']:.4f}, speedup {w16['speedup']:.2f}x "
-                    f"({time.time() - t0:.0f}s)")
-                emit("trained_la16_acceptance", w16["acceptance"],
-                     unit="tokens/forward", vs=w16["acceptance"])
-                emit("trained_la16_speedup", w16["speedup"], unit="x",
-                     vs=w16["speedup"])
-            except Exception as e:
-                log(f"trained lookahead W=16 failed ({type(e).__name__}: {e})")
-
         # Adaptive-window band points (VERDICT r4 #2): the controller
         # over precompiled W=8/W=16 segment programs on the SAME probe.
         # On the saturating grammar model it should match fixed W=16
         # (switch-up engages); under max_accept=4 it should match fixed
         # W=8 (acceptance never reaches the switch-up threshold).
-        if probe is not None and fits("adaptive lookahead (trained)", 200):
+        if probe is not None and fits("adaptive lookahead (trained)", 150):
             try:
                 t0 = time.time()
                 ad = probe.run_adaptive()
@@ -552,7 +552,7 @@ def main():
                      vs=ad["speedup"])
             except Exception as e:
                 log(f"adaptive lookahead failed ({type(e).__name__}: {e})")
-        if probe is not None and fits("adaptive lookahead capped4 (trained)", 150):
+        if probe is not None and fits("adaptive lookahead capped4 (trained)", 80):
             try:
                 t0 = time.time()
                 ad4 = probe.run_adaptive(max_accept=4)
@@ -564,11 +564,6 @@ def main():
                      unit="x", vs=ad4["speedup"])
             except Exception as e:
                 log(f"adaptive capped4 failed ({type(e).__name__}: {e})")
-
-        # Free the trained probe's device buffers (~0.7 GB bf16 params
-        # + cond) before anything that might still run below (ADVICE r4).
-        probe = None
-        del probe
 
     # --- CHAIN-RAND grammar: the adversarial-data acceptance row ----------
     # (VERDICT r4 #7 closure — a MEASURED negative result.) Three
@@ -599,7 +594,7 @@ def main():
     chain_cache = os.environ.get(
         "GRAMMAR_PROBE_CACHE_CHAINRAND",
         "/tmp/grammar350m_s600b4n100lr0.001seed0_chainrand.npz")
-    chain_est = 260 if os.path.exists(chain_cache) else 900
+    chain_est = 120 if os.path.exists(chain_cache) else 900
     if fits("trained lookahead CHAIN-RAND (adversarial data)", chain_est):
         try:
             t0 = time.time()
@@ -616,6 +611,47 @@ def main():
             nprobe = None
         except Exception as e:
             log(f"chainrand-grammar lookahead failed ({type(e).__name__}: {e})")
+
+    # --- demoted repeats (every row below exists in BENCH_r04 with the
+    # same methodology; the r5 priority order guarantees the NEW driver
+    # asks — int4 B=64, trained band, adaptive, chainrand — cannot be
+    # starved by them; they still run whenever budget remains) ---------
+    # window-16 point of the sweep (PERF r4): on this (sharp) probe
+    # model acceptance is ~15.5/16 and speedup 10.7x — the
+    # single-request headroom case (--lookahead 16). Marginal cost:
+    # one W=16 lookahead compile + two passes on the shared probe.
+    if probe is not None and fits("trained lookahead W=16", 150):
+        try:
+            t0 = time.time()
+            w16 = probe.run(window=16)
+            log(f"trained lookahead W=16: acceptance {w16['acceptance']:.2f}, "
+                f"agreement {w16['agreement']:.4f}, speedup {w16['speedup']:.2f}x "
+                f"({time.time() - t0:.0f}s)")
+            emit("trained_la16_acceptance", w16["acceptance"],
+                 unit="tokens/forward", vs=w16["acceptance"])
+            emit("trained_la16_speedup", w16["speedup"], unit="x",
+                 vs=w16["speedup"])
+        except Exception as e:
+            log(f"trained lookahead W=16 failed ({type(e).__name__}: {e})")
+
+    # free the trained probe's device buffers (~0.7 GB bf16 params +
+    # cond) before the remaining latency rows (ADVICE r4)
+    probe = None
+    del probe
+
+    e2e_exact_fixtures()
+    serving_roundtrip("serving_roundtrip", runner, est=50)
+    latency_rows((
+        ("pallas_int8", 16, 8, False, "mesh_latency_800f_int8_la8_b16",
+         "int8+lookahead W=8 B=16", 60),
+        ("pallas", 8, 8, False, "mesh_latency_800f_la8_b8",
+         "bf16+lookahead W=8 B=8", 60),
+    ))
+    batched_serving("serving_batched_8x", runner, est=150)
+    latency_rows((
+        ("pallas_int8", 16, 0, False, "mesh_latency_800f_int8_b16",
+         "int8 KV B=16", 120),
+    ))
 
     log(f"bench done in {elapsed():.0f}s of {BUDGET_S:.0f}s budget")
     # headline re-emitted last by the atexit hook (_final_emit)
