@@ -48,14 +48,21 @@ def _clear_jax_caches_between_modules():
     buffers, interpret-Pallas, shard_map, all with unique constants)
     completes cleanly with LINEAR resource curves (~1.6 MB RSS and ~5
     VM maps per program; 65530 map limit, 126 GB RAM — no limit within
-    reach). The faulthandler crash-hunt then caught the segfault
-    inside backend_compile_and_load with SIX leaked
-    BatchingRunner._loop worker threads still alive from
-    test_batching — background threads running jitted programs
-    concurrently with a later module's compile. test_batching now
-    routes every runner through a closing fixture (the leak fix);
-    the mitigation stays because a thread-race segfault is
-    timing-dependent and one clean run is not proof. Set
+    reach). The faulthandler crash-hunt first implicated leaked
+    BatchingRunner._loop worker threads (six alive at the crash);
+    test_batching now closes every runner — but a second
+    mitigation-off run with ZERO foreign threads crashed at the SAME
+    place, so threads are RULED OUT. Final characterization: a
+    DETERMINISTIC XLA:CPU segfault compiling
+    test_shape_opt.py::test_prompt_seeded_generate_matches_plain's
+    prefill program (~194 tests in, inside backend_compile_and_load,
+    main thread only) that requires the full preceding suite's
+    in-process compiled-program state — the same test passes in
+    isolation, in every smaller grouping, and under this fixture's
+    cache clearing; a 600-distinct-program repro is also clean. That
+    points at an upstream XLA:CPU compiler bug sensitive to prior
+    compilation state, not at anything this suite can fix; the
+    per-module clear_caches() below is the keep. Set
     MESHTPU_NO_CACHE_CLEAR=1 to disable it (crash-hunt runs)."""
     yield
     if not os.environ.get("MESHTPU_NO_CACHE_CLEAR"):
